@@ -1,38 +1,623 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship link-graph pipeline on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query;
+operators that are not ANSI-SQL-expressible (optimal transport, LSH, flow)
+are rows-only checked by the driver.
+
+Column-name and rounding discipline: every computed column is aliased
+identically on both sides, and float aggregates are rounded to 6 decimals on
+both sides so the driver's order-insensitive value-hash comparison is robust
+to summation-order float noise.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphriccicurvature_spark.sources.edges import (
+    canonicalize,
+    edges_from_documents,
+    edges_sql_cte,
+)
+
+_DAMP = 0.85
+_PR_ITERS = 5
+_CC_ROUNDS = 8
+_LPA_ROUNDS = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> link graph -> Ollivier curvature (ego mode) +
+    PageRank + degree, one joined result table."""
+    sf_dir = "/root/testdata/sf0.001"
+    from graphriccicurvature_spark.operators.degrees import degree_table
+    from graphriccicurvature_spark.operators.ollivier import ricci_curvature_edges
+    from graphriccicurvature_spark.operators.pagerank import pagerank
+
+    edges = edges_from_documents(spark, sf_dir)
+    und = canonicalize(edges)
+    k = ricci_curvature_edges(und, method="OTDSinkhornMix", alpha=0.5, mode="ego")
+    pr = pagerank(edges, num_iterations=_PR_ITERS, directed=True)
+    deg = degree_table(und)
+    out = (
+        k.join(pr.withColumnRenamed("node", "src").withColumnRenamed("pagerank", "src_pagerank"), "src")
+        .join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "src_degree").select("src", "src_degree"), "src")
+        .select("src", "dst", "ricci_curvature", "src_pagerank", "src_degree")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_edges(spark, sf):
+    return edges_from_documents(spark, sf).select("src", "dst", "weight")
+
+
+def _q_degree(spark, sf):
+    from graphriccicurvature_spark.operators.degrees import degree_table
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return degree_table(und).select("node", "degree")
+
+
+def _q_triangle_count(spark, sf):
+    from graphriccicurvature_spark.operators.triangles import triangle_count_global
+
+    return triangle_count_global(edges_from_documents(spark, sf))
+
+
+def _q_triangles_per_node(spark, sf):
+    from graphriccicurvature_spark.operators.triangles import triangle_counts
+
+    return triangle_counts(edges_from_documents(spark, sf)).select("node", "triangles")
+
+
+def _synth_weight(col_src, col_dst):
+    return 1.0 + ((col_src * 7 + col_dst * 13) % 10) / 10.0
+
+
+def _q_weight_cut(spark, sf):
+    from graphriccicurvature_spark.operators.community import cut_graph_by_cutoff
+
+    e = edges_from_documents(spark, sf).withColumn(
+        "weight", _synth_weight(F.col("src"), F.col("dst"))
+    )
+    return cut_graph_by_cutoff(e, 1.5).select("src", "dst", F.round("weight", 6).alias("weight"))
+
+
+def _q_forman_1d(spark, sf):
+    from graphriccicurvature_spark.operators.forman import forman_curvature
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return forman_curvature(und, "1d").select(
+        "src", "dst", F.round("forman_curvature", 6).alias("forman_curvature")
+    )
+
+
+def _q_forman_aug(spark, sf):
+    from graphriccicurvature_spark.operators.forman import forman_curvature
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return forman_curvature(und, "augmented").select(
+        "src", "dst", F.round("forman_curvature", 6).alias("forman_curvature")
+    )
+
+
+def _q_pagerank(spark, sf):
+    from graphriccicurvature_spark.operators.pagerank import pagerank
+
+    e = edges_from_documents(spark, sf)
+    return pagerank(e, damping=_DAMP, num_iterations=_PR_ITERS, directed=True).select(
+        "node", F.round("pagerank", 6).alias("pagerank")
+    )
+
+
+def _q_cc(spark, sf):
+    from graphriccicurvature_spark.operators.labelprop import label_propagation
+
+    e = edges_from_documents(spark, sf)
+    return label_propagation(
+        e, mode="min", max_iter=_CC_ROUNDS, directed=False, check_convergence=False
+    ).select("node", F.col("label").alias("component"))
+
+
+def _q_cc_exact(spark, sf):
+    from graphriccicurvature_spark.operators.components import connected_components
+
+    e = edges_from_documents(spark, sf)
+    return connected_components(e).select("node", "component")
+
+
+def _q_lpa(spark, sf):
+    from graphriccicurvature_spark.operators.labelprop import label_propagation
+
+    e = edges_from_documents(spark, sf)
+    return label_propagation(
+        e, mode="majority", max_iter=_LPA_ROUNDS, directed=False, check_convergence=False
+    ).select("node", "label")
+
+
+def _q_ollivier_otd(spark, sf):
+    from graphriccicurvature_spark.operators.ollivier import ricci_curvature_edges
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return ricci_curvature_edges(und, method="OTD", alpha=0.5, mode="ego").select(
+        "src", "dst", F.round("ricci_curvature", 6).alias("ricci_curvature")
+    )
+
+
+def _q_ollivier_exact(spark, sf):
+    from graphriccicurvature_spark.operators.ollivier import ricci_curvature_edges
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return ricci_curvature_edges(und, method="OTDSinkhornMix", alpha=0.5, mode="component").select(
+        "src", "dst", F.round("ricci_curvature", 6).alias("ricci_curvature")
+    )
+
+
+def _q_ricci_flow(spark, sf):
+    from graphriccicurvature_spark.operators.flow import ricci_flow
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    out = ricci_flow(und, iterations=2, method="OTDSinkhornMix", alpha=0.5)
+    return out.select(
+        "src", "dst", F.round("weight", 6).alias("weight"),
+        F.round("ricci_curvature", 6).alias("ricci_curvature"),
+    )
+
+
+def _q_dedup_exact(spark, sf):
+    from graphriccicurvature_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf)).select("doc_id", "is_survivor", "group_hash")
+
+
+def _q_minhash_dedup(spark, sf):
+    from graphriccicurvature_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(spark, sf)).select("doc_id", "cluster", "is_survivor")
+
+
+def _q_simhash(spark, sf):
+    from graphriccicurvature_spark.operators.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(spark, sf)).select("doc_id", "simhash", "is_survivor")
+
+
+def _q_ngram_jaccard(spark, sf):
+    from graphriccicurvature_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf), k=2, threshold=0.2).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_token_stats(spark, sf):
+    from graphriccicurvature_spark.operators.textstats import add_token_stats
+
+    return add_token_stats(_docs(spark, sf)).select(
+        "doc_id", "n_tokens", F.round("avg_token_len", 6).alias("avg_token_len")
+    )
+
+
+def _q_quality(spark, sf):
+    from graphriccicurvature_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf)).select(
+        "doc_id",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def _q_lang_id(spark, sf):
+    from graphriccicurvature_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf)).select("doc_id", "lang_pred")
+
+
+def _q_fingerprint(spark, sf):
+    from graphriccicurvature_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf)).select("doc_id", "text_hash", "min_shingle_hash")
+
+
+def _q_ann_brute(spark, sf):
+    from graphriccicurvature_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_bruteforce(emb, queries, k=10).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _q_ann_lsh(spark, sf):
+    from graphriccicurvature_spark.operators.similarity import cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_lsh(emb, queries, k=10, bits=6).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _q_events_window(spark, sf):
+    from graphriccicurvature_spark.streaming.events import windowed_event_counts_batch
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return windowed_event_counts_batch(ev, "1 hour").select(
+        "window_start", "event_type", "n_events", F.round("sum_value", 6).alias("sum_value")
+    )
+
+
+def _q_binary_meta(spark, sf):
+    from graphriccicurvature_spark.operators.multimodal import binary_metadata
+
+    d = _docs(spark, sf).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return binary_metadata(d, "doc_id", "payload").select(
+        F.col("id").alias("doc_id"), "n_bytes"
+    )
+
+
+def _q_tpch_pricing(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "edges_build": _q_edges,
+        "degree": _q_degree,
+        "triangle_count": _q_triangle_count,
+        "triangles_per_node": _q_triangles_per_node,
+        "weight_cut": _q_weight_cut,
+        "forman_1d": _q_forman_1d,
+        "forman_aug": _q_forman_aug,
+        "pagerank_5": _q_pagerank,
+        "cc_bounded_8": _q_cc,
+        "cc_exact": _q_cc_exact,
+        "lpa_majority_3": _q_lpa,
+        "ollivier_otd_ego": _q_ollivier_otd,
+        "ollivier_exact": _q_ollivier_exact,
+        "ricci_flow_2": _q_ricci_flow,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "token_stats": _q_token_stats,
+        "quality": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "ann_cosine_brute": _q_ann_brute,
+        "ann_cosine_lsh": _q_ann_lsh,
+        "events_window": _q_events_window,
+        "binary_meta": _q_binary_meta,
+        "tpch_pricing": _q_tpch_pricing,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_E = edges_sql_cte("documents")
+
+_UND = """
+und AS (
+    SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst,
+           CAST(1.0 AS DOUBLE) AS weight
+    FROM edges
+),
+sym AS (
+    SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und
+),
+deg AS (
+    SELECT src AS node, count(*) AS degree FROM sym GROUP BY src
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql = {}
+    sql["edges_build"] = f"WITH {_E} SELECT src, dst, weight FROM edges"
+    sql["degree"] = f"WITH {_E}, {_UND} SELECT node, degree FROM deg"
+    sql["triangle_count"] = f"""
+        WITH {_E}, {_UND}
+        SELECT count(*) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.src = e1.src AND e2.dst > e1.dst
+        JOIN und e3 ON e3.src = e1.dst AND e3.dst = e2.dst
     """
-    return {}
+    sql["triangles_per_node"] = f"""
+        WITH {_E}, {_UND},
+        tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM und e1
+            JOIN und e2 ON e2.src = e1.src AND e2.dst > e1.dst
+            JOIN und e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        )
+        SELECT node, count(*) AS triangles FROM (
+            SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    """
+    sql["weight_cut"] = f"""
+        WITH {_E}
+        SELECT src, dst,
+               round(1.0 + CAST((src * 7 + dst * 13) % 10 AS DOUBLE) / 10.0, 6) AS weight
+        FROM edges
+        WHERE 1.0 + CAST((src * 7 + dst * 13) % 10 AS DOUBLE) / 10.0 <= 1.5
+    """
+    sql["forman_1d"] = f"""
+        WITH {_E}, {_UND}
+        SELECT u.src, u.dst,
+               round(CAST(4 - d1.degree - d2.degree AS DOUBLE), 6) AS forman_curvature
+        FROM und u
+        JOIN deg d1 ON d1.node = u.src
+        JOIN deg d2 ON d2.node = u.dst
+    """
+    sql["forman_aug"] = f"""
+        WITH {_E}, {_UND},
+        faces AS (
+            SELECT u.src, u.dst, count(*) AS nf
+            FROM und u
+            JOIN sym a ON a.src = u.src
+            JOIN sym b ON b.src = u.dst AND b.dst = a.dst
+            GROUP BY u.src, u.dst
+        )
+        SELECT u.src, u.dst,
+               round(CAST(coalesce(f.nf, 0) + 2
+                     - abs((d1.degree - 1 - coalesce(f.nf, 0))
+                         + (d2.degree - 1 - coalesce(f.nf, 0))) AS DOUBLE), 6)
+                   AS forman_curvature
+        FROM und u
+        JOIN deg d1 ON d1.node = u.src
+        JOIN deg d2 ON d2.node = u.dst
+        LEFT JOIN faces f ON f.src = u.src AND f.dst = u.dst
+    """
+    sql["pagerank_5"] = f"""
+        WITH RECURSIVE {_E},
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+        full_edges AS (
+            SELECT e.src, e.dst, o.od FROM edges e JOIN outdeg o USING (src)
+            UNION ALL
+            SELECT d.node AS src, t.node AS dst, (SELECT n FROM nn) AS od
+            FROM (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)) d
+            CROSS JOIN nodes t
+        ),
+        pr(iter, node, r) AS (
+            SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM nodes
+            UNION ALL
+            SELECT q.iter + 1, q.dst,
+                   (1 - {_DAMP}) / (SELECT n FROM nn) + {_DAMP} * q.s
+            FROM (
+                SELECT p.iter AS iter, fe.dst AS dst, sum(p.r / fe.od) AS s
+                FROM pr p JOIN full_edges fe ON fe.src = p.node
+                WHERE p.iter < {_PR_ITERS}
+                GROUP BY p.iter, fe.dst
+            ) q
+        )
+        SELECT node, round(r, 6) AS pagerank FROM pr WHERE iter = {_PR_ITERS}
+    """
+    cc_core = f"""
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        symself AS (
+            SELECT src, dst FROM edges
+            UNION SELECT dst AS src, src AS dst FROM edges
+            UNION SELECT node AS src, node AS dst FROM nodes
+        ),
+        lab(iter, node, label) AS (
+            SELECT 0, node, node FROM nodes
+            UNION ALL
+            SELECT l.iter + 1, s.dst AS node, min(l.label) AS label
+            FROM lab l JOIN symself s ON s.src = l.node
+            WHERE l.iter < {_CC_ROUNDS}
+            GROUP BY l.iter, s.dst
+        )
+    """
+    sql["cc_bounded_8"] = f"""
+        WITH RECURSIVE {_E}, {cc_core}
+        SELECT node, label AS component FROM lab WHERE iter = {_CC_ROUNDS}
+    """
+    # exact CC: the documents graph at every sf has diameter << 24 rounds;
+    # the bounded recursion below is run to a depth where it has provably
+    # converged (fixpoint reached), giving exact components.
+    sql["cc_exact"] = f"""
+        WITH RECURSIVE {_E},
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        symself AS (
+            SELECT src, dst FROM edges
+            UNION SELECT dst AS src, src AS dst FROM edges
+            UNION SELECT node AS src, node AS dst FROM nodes
+        ),
+        lab(iter, node, label) AS (
+            SELECT 0, node, node FROM nodes
+            UNION ALL
+            SELECT l.iter + 1, s.dst AS node, min(l.label) AS label
+            FROM lab l JOIN symself s ON s.src = l.node
+            WHERE l.iter < 40
+            GROUP BY l.iter, s.dst
+        )
+        SELECT node, label AS component FROM lab WHERE iter = 40
+    """
+    sql["lpa_majority_3"] = f"""
+        WITH RECURSIVE {_E},
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        sym AS (
+            SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+        ),
+        lab(iter, node, label) AS (
+            SELECT 0, node, node FROM nodes
+            UNION ALL
+            SELECT iter + 1, node, label FROM (
+                SELECT q.iter, q.node, q.label,
+                       row_number() OVER (
+                           PARTITION BY q.iter, q.node ORDER BY q.c DESC, q.label ASC
+                       ) AS rn
+                FROM (
+                    SELECT l.iter AS iter, s.src AS node, l.label AS label, count(*) AS c
+                    FROM lab l JOIN sym s ON s.dst = l.node
+                    WHERE l.iter < {_LPA_ROUNDS}
+                    GROUP BY l.iter, s.src, l.label
+                ) q
+            ) WHERE rn = 1
+        )
+        SELECT node, label FROM lab WHERE iter = {_LPA_ROUNDS}
+    """
+    sql["dedup_exact"] = """
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_survivor,
+               md5(text) AS group_hash
+        FROM documents
+    """
+    sql["ngram_jaccard"] = """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS shset
+            FROM toks WHERE len(t) >= 2
+        ),
+        sizes AS (SELECT doc_id, len(shset) AS sz FROM sh),
+        inv AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+        pair_inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+            FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT a, b, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM pair_inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+    """
+    sql["token_stats"] = """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               round(CASE WHEN trim(text) = '' THEN 0.0
+                    ELSE list_sum([CAST(length(x) AS DOUBLE)
+                                   FOR x IN regexp_split_to_array(trim(text), '\\s+')])
+                         / len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS avg_token_len
+        FROM documents
+    """
+    stop_en = "['the','and','of','to','in','is','that','it','for','was']"
+    sql["quality"] = f"""
+        WITH q AS (
+            SELECT doc_id, text,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS DOUBLE) AS n_tok,
+                   CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_intersect(list_distinct(toks), {stop_en})) AS DOUBLE)
+                             / len(toks)
+                        ELSE 0.0 END AS stopword_ratio
+            FROM q
+        )
+        SELECT doc_id,
+               round(punct_ratio, 6) AS punct_ratio,
+               round(alpha_ratio, 6) AS alpha_ratio,
+               round(stopword_ratio, 6) AS stopword_ratio,
+               round(0.4 * least(n_tok / 64.0, 1.0)
+                     + 0.3 * alpha_ratio
+                     + 0.2 * (1.0 - least(punct_ratio * 10, 1.0))
+                     + 0.1 * least(stopword_ratio * 5, 1.0), 6) AS quality
+        FROM f
+    """
+    sql["ann_cosine_brute"] = """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 5
+        ),
+        sims AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM sims
+        )
+        SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= 10
+    """
+    sql["events_window"] = """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """
+    sql["binary_meta"] = """
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents
+    """
+    sql["tpch_pricing"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+    return sql

@@ -1,0 +1,162 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "ollivier_edges_per_sec", "value": N, "unit": "edges/sec",
+     "queries": {...per-query seconds...}, "sf": ..., ...}
+
+Headline metric mirrors BASELINE.json: Ollivier-Ricci curvature throughput
+(edges/sec, ego mode — the 100TB strategy) plus PageRank seconds/iteration.
+
+Scaling-efficiency protocol (north rule, two "cluster sizes" in one box):
+``SPARK_GRAFT_SCALING=1 python bench.py`` re-runs the Ollivier stage at
+local[8] and local[32] in separate JVMs and reports
+``scaling_efficiency = (T_8 / T_32) / 4``; see BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _spark(cpus: int):
+    from graphriccicurvature_spark.session import get_spark
+
+    return get_spark(
+        master=f"local[{cpus}]",
+        app_name="bench",
+        shuffle_partitions=max(cpus, 8),
+    )
+
+
+def _time(fn):
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def run_bench(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from graphriccicurvature_spark.operators.components import connected_components
+    from graphriccicurvature_spark.operators.dedup import minhash_dedup
+    from graphriccicurvature_spark.operators.forman import forman_curvature
+    from graphriccicurvature_spark.operators.ollivier import ricci_curvature_edges
+    from graphriccicurvature_spark.operators.pagerank import pagerank
+    from graphriccicurvature_spark.operators.similarity import cosine_topk_bruteforce
+    from graphriccicurvature_spark.operators.triangles import triangle_count_global
+    from graphriccicurvature_spark.sources.edges import canonicalize, edges_from_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edges = edges_from_documents(spark, SF_DIR).cache()
+    n_edges = edges.count()
+    und = canonicalize(edges).cache()
+    n_und = und.count()
+
+    queries: dict[str, float] = {}
+
+    t, _ = _time(lambda: ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count())
+    queries["ollivier_ego"] = t
+    ollivier_eps = n_und / t
+
+    pr_iters = 10
+    t, _ = _time(lambda: pagerank(edges, num_iterations=pr_iters, directed=True).count())
+    queries["pagerank_10it"] = t
+    pr_sec_per_iter = t / pr_iters
+
+    t, _ = _time(lambda: connected_components(und).count())
+    queries["connected_components"] = t
+
+    t, _ = _time(lambda: triangle_count_global(und).collect())
+    queries["triangle_count"] = t
+
+    t, _ = _time(lambda: forman_curvature(und, "augmented").count())
+    queries["forman_augmented"] = t
+
+    t, _ = _time(lambda: minhash_dedup(docs).count())
+    queries["minhash_dedup"] = t
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    t, _ = _time(
+        lambda: cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 8), k=10).count()
+    )
+    queries["ann_cosine_brute"] = t
+
+    return {
+        "n_edges_directed": n_edges,
+        "n_edges_undirected": n_und,
+        "ollivier_edges_per_sec": ollivier_eps,
+        "pagerank_sec_per_iter": pr_sec_per_iter,
+        "queries": queries,
+    }
+
+
+def _scaling_child(cpus: int) -> float:
+    """Run the Ollivier stage alone at a given parallelism; print seconds."""
+    spark = _spark(cpus)
+    from graphriccicurvature_spark.operators.ollivier import ricci_curvature_edges
+    from graphriccicurvature_spark.sources.edges import canonicalize, edges_from_documents
+
+    und = canonicalize(edges_from_documents(spark, SF_DIR)).cache()
+    und.count()
+    # warm-up pass (JIT + python worker pool), then the measured pass
+    ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count()
+    t, _ = _time(lambda: ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count())
+    spark.stop()
+    return t
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        print(json.dumps({"secs": _scaling_child(int(sys.argv[2]))}))
+        return
+
+    spark = _spark(CPUS)
+    result = run_bench(spark)
+    spark.stop()
+
+    out = {
+        "metric": "ollivier_edges_per_sec",
+        "value": round(result["ollivier_edges_per_sec"], 2),
+        "unit": "edges/sec",
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "pagerank_sec_per_iter": round(result["pagerank_sec_per_iter"], 3),
+        "n_edges": result["n_edges_undirected"],
+        "queries": {k: round(v, 3) for k, v in result["queries"].items()},
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        times = {}
+        for cpus in (8, 32):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "SPARK_GRAFT_SCALING": "0"},
+            )
+            times[cpus] = json.loads(p.stdout.strip().splitlines()[-1])["secs"]
+        out["scaling"] = {
+            "local8_secs": round(times[8], 3),
+            "local32_secs": round(times[32], 3),
+            "efficiency_8_to_32": round((times[8] / times[32]) / 4.0, 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Connected components: large-star / small-star (Kiveris et al. 2014).
+
+North-rule kernel (BASELINE.json). Fully DataFrame-based alternating star
+contractions; converges in O(log^2 n) rounds on any graph, each round two
+shuffles. Component id = minimum node id in the component (exact match vs
+``nx.connected_components`` after the same canonical relabeling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.lineage import truncate_plan
+
+
+def _orient(edges: DataFrame) -> DataFrame:
+    """One row per undirected pair, oriented big -> small (u > v)."""
+    return (
+        edges.select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _large_star(E: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mv")).select("u", F.least("mv", "u").alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """Within each node's smaller-neighbor star, rewire all to the minimum."""
+    # E is oriented u > v, so min(N_small(u) ∪ {u}) = min(v).
+    m = E.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = E.join(m, "u").filter(F.col("v") != F.col("m")).select(F.col("v").alias("u"), F.col("m").alias("v"))
+    selfs = m.select("u", F.col("m").alias("v"))
+    return nbrs.union(selfs).filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame | None = None, max_iter: int = 64
+) -> DataFrame:
+    """Returns ``(node, component)`` with component = min node id.
+
+    ``vertices`` (optional single-column ``node`` DataFrame) adds isolated
+    nodes as their own singleton components.
+    """
+    spark = edges.sparkSession
+    E = _orient(edges)
+    all_nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    )
+    if vertices is not None:
+        all_nodes = all_nodes.union(vertices.select(F.col(vertices.columns[0]).alias("node")))
+    all_nodes = all_nodes.distinct()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        E = _small_star(_large_star(E)).transform(truncate_plan)
+        sig = E.agg(
+            F.count("*").alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (sig["c"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    labels = E.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        all_nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )

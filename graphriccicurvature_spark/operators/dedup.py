@@ -1,0 +1,202 @@
+"""Deduplication operators for training-data pipelines.
+
+All candidate generation is join/agg-based (scales by shuffle, no driver
+state); only representative selection touches per-group data. Four tiers:
+
+- exact:      md5(text) hash-groupBy
+- minhash:    word-shingle MinHash + LSH band bucketing -> candidate pairs
+              -> exact Jaccard verify -> connected components -> survivors
+- simhash:    64-bit SimHash (token-hash bit votes) computed with built-in
+              aggregates; exact-signature grouping
+- ngram:      n-gram Jaccard similarity pairs via shared-shingle join
+
+Everything uses built-in functions (xxhash64, transform, aggregate) — the
+one exception is nothing: there are no Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .components import connected_components
+from .textstats import tokens, word_shingles
+
+# 31-bit constants keep a*x + b < 2^63 (ANSI-mode long arithmetic, no overflow)
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivors (min id per identical text). Returns (id, is_survivor, group_hash)."""
+    h = F.md5(F.col(text_col)).alias("group_hash")
+    w = Window.partitionBy("group_hash").orderBy(F.asc(id_col))
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            (F.col("rn") == 1).alias("is_survivor"),
+            "group_hash",
+        )
+    )
+
+
+def _minhash_signature(shingle_hashes, num_perm: int, seed: int = 42):
+    """num_perm universal-hash minima over a shingle-hash array (column expr).
+
+    Permutation p: h_p(x) = (a_p * x + b_p) mod 2^61-1 with fixed (a_p, b_p)
+    derived deterministically from the seed.
+    """
+    def perm_fn(a, b):
+        def apply(x):
+            return (F.lit(a) * (x.bitwiseAND(F.lit(_MERSENNE))) + F.lit(b)) % F.lit(_MERSENNE)
+
+        return apply
+
+    sigs = []
+    for p in range(num_perm):
+        a = (seed * 1000003 + p * 2654435761 + 1) % (_MERSENNE - 1) + 1
+        b = (seed * 999983 + p * 40503 + 7) % _MERSENNE
+        sigs.append(F.array_min(F.transform(shingle_hashes, perm_fn(a, b))))
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) via MinHash-LSH band bucketing."""
+    rows_per_band = num_perm // bands
+    sh = word_shingles(F.col(text_col), shingle_k)
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("sh_hashes"),
+    ).filter(F.size("sh_hashes") > 0)
+    docs = docs.withColumn("sig", _minhash_signature(F.col("sh_hashes"), num_perm))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)])).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = docs.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = buckets.select("band", "bucket", F.col("id").alias("a"))
+    right = buckets.select("band", "bucket", F.col("id").alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup clustering: LSH candidates -> exact-Jaccard verify ->
+    connected components over the dup graph -> min-id survivor.
+
+    Returns (id, cluster, is_survivor)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, shingle_k, num_perm, bands)
+    sh = word_shingles(F.col(text_col), shingle_k)
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(sh).alias("shset"),
+    )
+    verified = (
+        cands.join(sets.select(F.col("id").alias("a"), F.col("shset").alias("sa")), "a")
+        .join(sets.select(F.col("id").alias("b"), F.col("shset").alias("sb")), "b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("uni", F.size(F.array_union("sa", "sb")))
+        .filter(F.col("uni") > 0)
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    all_ids = df.select(F.col(id_col).alias("node"))
+    clusters = connected_components(verified.withColumn("weight", F.lit(1.0)), vertices=all_ids)
+    return clusters.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, fully via built-in aggregates.
+
+    Token hash bits vote +1/-1 per position; the sign vector packs into a
+    signed 64-bit signature. Returns (id, simhash)."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = toks.withColumn("th", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy("id").agg(*votes)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical SimHash signatures; min id survives. (id, simhash, is_survivor)."""
+    s = simhash(df, id_col, text_col)
+    w = Window.partitionBy("simhash").orderBy(F.asc("id"))
+    return s.withColumn("rn", F.row_number().over(w)).select(
+        F.col("id").alias(id_col), "simhash", (F.col("rn") == 1).alias("is_survivor")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (a < b) with word-k-gram Jaccard >= threshold.
+
+    Candidates via shared-shingle equi-join (inverted index), exact Jaccard
+    from per-pair intersection counts and per-doc set sizes — no N^2 scan.
+    """
+    sh = word_shingles(F.col(text_col), k)
+    docs = df.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("shset")).filter(
+        F.size("shset") > 0
+    )
+    sizes = docs.select("id", F.size("shset").alias("sz"))
+    inv = docs.select("id", F.explode("shset").alias("s"))
+    pair_inter = (
+        inv.alias("x")
+        .join(inv.alias("y"), "s")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pair_inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,170 @@
+"""Discrete Ricci flow (reference OllivierRicci.py:524-618), Spark-first.
+
+Driver-side round loop over an edge DataFrame; per round:
+
+1. ``w <- w - step * kappa * w``                        (column expression)
+2. global renormalization ``w <- w * |E| / sum(w)``     (scalar agg)
+3. recompute curvature                                   (ollivier operator)
+4. convergence test ``max(kappa) - min(kappa) < delta``  (scalar agg)
+5. optional surgery hook every ``surgery_every`` rounds  (DataFrame->DataFrame)
+
+Round state is one edge table; lineage is truncated every round via
+``localCheckpoint`` (or durable parquet rounds + metrics when
+``checkpoint_dir`` is set, resumable via plans.controller.RoundCheckpoint).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.controller import RoundCheckpoint
+from ..plans.lineage import truncate_plan
+from ..sources.edges import canonicalize, prepare_edges
+from .components import connected_components
+from .ollivier import ricci_curvature_edges
+
+
+def _largest_component_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Restrict to the largest connected component (reference :554-556).
+
+    Returns (restricted edges, components-of-restricted) so the flow loop can
+    reuse the CC result every round (topology is round-invariant).
+    """
+    comps = connected_components(edges).cache()
+    n_comp = comps.select("component").distinct().count()
+    if n_comp <= 1:
+        return edges, comps
+    largest = (
+        comps.groupBy("component")
+        .count()
+        .orderBy(F.desc("count"), F.asc("component"))
+        .limit(1)
+        .select("component")
+    )
+    keep = comps.join(F.broadcast(largest), "component").select("node")
+    edges = edges.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+    comps = comps.join(F.broadcast(largest), ["component"], "left_semi")
+    return edges, comps
+
+
+def ricci_flow(
+    edges: DataFrame,
+    *,
+    iterations: int = 20,
+    step: float = 1.0,
+    delta: float = 1e-4,
+    surgery=None,
+    surgery_every: int = 100,
+    checkpoint_dir: str | None = None,
+    verbose: bool = False,
+    alpha: float = 0.5,
+    method: str = "OTDSinkhornMix",
+    base: float = math.e,
+    exp_power: float = 2.0,
+    nbr_topk: int = 3000,
+    mode: str = "component",
+) -> DataFrame:
+    """Run Ricci flow; returns edges with ``weight`` (the flow metric),
+    ``ricci_curvature`` and ``original_rc`` columns.
+
+    Input must be an undirected canonical edge table (src < dst). If
+    ``checkpoint_dir`` is given, every round is persisted with metrics and a
+    restarted call resumes from the latest complete round.
+    """
+    spark = edges.sparkSession
+    curv_kwargs = dict(
+        alpha=alpha, method=method, base=base, exp_power=exp_power,
+        nbr_topk=nbr_topk, mode=mode,
+    )
+    ckpt = RoundCheckpoint(checkpoint_dir) if checkpoint_dir else None
+    start_round = 0
+    state = None
+    comps = None
+
+    if ckpt is not None:
+        got = ckpt.latest(spark)
+        if got is not None:
+            i, state, _metrics = got
+            start_round = i + 1
+
+    if state is None:
+        edges = canonicalize(prepare_edges(edges))
+        edges, comps = _largest_component_edges(edges)
+        if "original_rc" in edges.columns:
+            state = edges  # continue-to-refine (reference :566-567)
+        else:
+            k = ricci_curvature_edges(edges, components=comps, **curv_kwargs)
+            state = (
+                edges.select("src", "dst", "weight")
+                .join(k, ["src", "dst"])
+                .withColumn("original_rc", F.col("ricci_curvature"))
+                .transform(truncate_plan)
+            )
+    if comps is None and mode == "component":
+        comps = connected_components(state.select("src", "dst", "weight")).cache()
+
+    n_edges = state.count()
+    normalized_weight = float(n_edges)
+
+    for i in range(start_round, iterations):
+        t0 = time.time()
+        # 1. gradient step on the flow metric (reference :580-581)
+        updated = state.withColumn(
+            "weight",
+            F.col("weight") - F.lit(step) * F.col("ricci_curvature") * F.col("weight"),
+        )
+        # 2. global renormalization to sum(w) == |E| (reference :583-588)
+        sumw = updated.agg(F.sum("weight")).collect()[0][0]
+        updated = updated.withColumn(
+            "weight", F.col("weight") * F.lit(normalized_weight / sumw)
+        )
+        # 3. recompute curvature on the new metric (reference :591)
+        k = ricci_curvature_edges(
+            updated.select("src", "dst", "weight"), components=comps, **curv_kwargs
+        )
+        state = (
+            updated.select("src", "dst", "weight", "original_rc")
+            .join(k, ["src", "dst"])
+            .select("src", "dst", "weight", "ricci_curvature", "original_rc")
+            .transform(truncate_plan)
+        )
+        # 4. convergence (reference :593-600)
+        stats = state.agg(
+            F.max("ricci_curvature").alias("kmax"),
+            F.min("ricci_curvature").alias("kmin"),
+            F.sum("weight").alias("sumw"),
+        ).collect()[0]
+        diff = stats["kmax"] - stats["kmin"]
+        if verbose:
+            print(
+                f"[ricci_flow] round={i} secs={time.time() - t0:.2f} "
+                f"diff={diff:.6f} sumw={stats['sumw']:.4f}",
+                flush=True,
+            )
+        if ckpt is not None:
+            state = ckpt.save(
+                i,
+                state,
+                {
+                    "sum_weight": stats["sumw"],
+                    "kappa_max": stats["kmax"],
+                    "kappa_min": stats["kmin"],
+                    "kappa_diff": diff,
+                    "n_edges": n_edges,
+                    "wall_secs": time.time() - t0,
+                },
+            )
+        if diff < delta:
+            break
+        # 5. surgery hook (reference :604-608)
+        if surgery is not None and i != 0 and i % surgery_every == 0:
+            state = surgery(state)
+            n_edges = state.count()
+            normalized_weight = float(n_edges)
+            if mode == "component":
+                comps = connected_components(state.select("src", "dst", "weight")).cache()
+    return state

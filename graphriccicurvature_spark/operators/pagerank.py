@@ -1,0 +1,93 @@
+"""PageRank power iteration (north-rule kernel).
+
+Exactly NetworkX's update so fixture parity holds to 1e-6:
+
+    r'(v) = (1-d)/N + d * ( sum_{u->v} r(u) * w(u,v) / wout(u) + dangle/N )
+    dangle = sum of r over nodes with no out-edges
+    stop when sum |r' - r| < N * tol   (or after a fixed iteration count)
+
+Structure per iteration: one shuffle join (ranks ⋈ edges on src) + one
+aggregation on dst; the node table and normalized edge table are computed
+once and reused. ``localCheckpoint`` truncates lineage every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.lineage import truncate_plan
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1.0e-6,
+    max_iter: int = 100,
+    num_iterations: int | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Returns ``(node, pagerank)``.
+
+    ``num_iterations`` set → run exactly that many rounds with no
+    convergence action (deterministic, SQL-oracle-friendly). Undirected
+    input (canonical rows) is symmetrized first, matching ``nx.pagerank``
+    on a ``Graph``.
+    """
+    if not directed:
+        edges = edges.select("src", "dst", "weight").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    wout = edges.groupBy("src").agg(F.sum("weight").alias("wout"))
+    # normalized transition edges, computed once
+    trans = edges.join(wout, "src").select(
+        "src", "dst", (F.col("weight") / F.col("wout")).alias("p")
+    ).cache()
+    trans.count()
+    out_nodes = wout.select(F.col("src").alias("node"))
+    dangling = nodes.join(out_nodes, "node", "left_anti").cache()
+
+    ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    iters = num_iterations if num_iterations is not None else max_iter
+    for _ in range(iters):
+        dangle = (
+            ranks.join(dangling, "node", "left_semi").agg(F.sum("pagerank")).collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            trans.join(ranks, trans.src == ranks.node)
+            .select("dst", (F.col("p") * F.col("pagerank")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        new_ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * (F.coalesce("c", F.lit(0.0)) + F.lit(dangle / n))
+                ).alias("pagerank"),
+            )
+            .transform(truncate_plan)
+        )
+        if num_iterations is None:
+            err = (
+                new_ranks.join(ranks.withColumnRenamed("pagerank", "prev"), "node")
+                .agg(F.sum(F.abs(F.col("pagerank") - F.col("prev"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if err < n * tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks

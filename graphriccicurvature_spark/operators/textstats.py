@@ -1,0 +1,117 @@
+"""Text analysis over a documents/pages table — all JVM-side column math.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting, and
+document fingerprinting. No Python UDFs: tokenization, n-grams and hashing
+use built-in functions (split / transform / xxhash64 / aggregate), so the
+whole stage stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "fr": ["le", "la", "les", "de", "des", "et", "en", "un", "une", "est"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+    "de": ["der", "die", "das", "und", "von", "zu", "mit", "ist", "den", "ein"],
+    "zh": ["de", "shi", "zai", "le", "he", "wo", "you", "ren", "zhe", "ge"],
+}
+
+
+def tokens(text_col) -> Column:
+    """Whitespace tokenization; empty text -> empty array."""
+    t = F.trim(text_col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text_col) -> Column:
+    return F.size(tokens(text_col))
+
+
+def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens, n_chars, avg token length."""
+    toks = tokens(F.col(text_col))
+    return df.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_chars_actual", F.length(F.col(text_col))
+    ).withColumn(
+        "avg_token_len",
+        F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x))
+            / F.size(toks),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + composite score in [0, 1].
+
+    Features: token count band, punctuation ratio, stopword(en) ratio,
+    alpha ratio. The composite is a fixed linear blend — the point is the
+    plumbing (a 100TB-scannable, codegen-only scorer), not the weights.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    sw_hits = F.size(F.array_intersect(toks, sw))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tok > 0, sw_hits / n_tok).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.1) * F.least(sw_ratio * 5, F.lit(1.0))
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("stopword_ratio", sw_ratio)
+        .withColumn("quality", score)
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language guess (deterministic tie-break by lang code)."""
+    toks = tokens(F.col(text_col))
+    hits = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        hits.append(F.struct(F.size(F.array_intersect(toks, arr)).alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*hits))
+    return df.withColumn(
+        "lang_pred", F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def word_shingles(text_col, k: int = 3) -> Column:
+    """Word k-gram shingles as an array of strings (built-ins only)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Document fingerprints: full-text hash + min-shingle-hash (winnowing-
+    style representative) — both 64-bit, built-in xxhash64."""
+    sh = word_shingles(F.col(text_col), k)
+    return df.withColumn("text_hash", F.xxhash64(F.col(text_col))).withColumn(
+        "min_shingle_hash",
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s))),
+    )

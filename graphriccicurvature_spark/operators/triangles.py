@@ -1,0 +1,58 @@
+"""Degree-ordered triangle counting (north-rule kernel; feeds Forman faces).
+
+Each undirected edge is oriented from its lower-(degree, id) endpoint to the
+higher one, bounding per-key join fan-out at O(sqrt(m)) even on power-law hub
+vertices. Triangles = wedge join (two oriented edges sharing the apex) +
+semi-join on the closing oriented edge. Exact vs ``nx.triangles``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .degrees import degree_table
+from ..sources.edges import canonicalize
+
+
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Orient canonical edges low-rank -> high-rank by (degree, node id)."""
+    und = canonicalize(edges)
+    deg = degree_table(und).select("node", "degree")
+    e = (
+        und.join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "deg_src"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "deg_dst"), "dst")
+    )
+    lower_first = F.struct("deg_src", "src") < F.struct("deg_dst", "dst")
+    return e.select(
+        F.when(lower_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(lower_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        F.when(lower_first, F.col("deg_src")).otherwise(F.col("deg_dst")).alias("deg_a"),
+        F.when(lower_first, F.col("deg_dst")).otherwise(F.col("deg_src")).alias("deg_b"),
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """All triangles as rows ``(a, b, c)`` (each triangle exactly once)."""
+    o = oriented_edges(edges).cache()
+    x = o.select(F.col("a"), F.col("b").alias("b1"), F.col("deg_b").alias("db1"))
+    y = o.select(F.col("a"), F.col("b").alias("b2"), F.col("deg_b").alias("db2"))
+    wedges = x.join(y, "a").filter(F.struct("db1", "b1") < F.struct("db2", "b2"))
+    closing = o.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    tri = wedges.join(closing, ["b1", "b2"], "left_semi")
+    return tri.select(F.col("a"), F.col("b1").alias("b"), F.col("b2").alias("c"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts ``(node, triangles)`` (0 rows omitted)."""
+    tri = triangles(edges)
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+def triangle_count_global(edges: DataFrame) -> DataFrame:
+    return triangles(edges).agg(F.count("*").alias("n_triangles"))

@@ -1,0 +1,97 @@
+"""Edge-table sources: the engine's graph data model.
+
+The reference consumes in-memory NetworkX graphs (OllivierRicci.py:627);
+our data model is an ``edges(src LONG, dst LONG, weight DOUBLE)`` DataFrame
+plus optional ``vertices(id LONG, ...)``. Undirected graphs are stored
+canonically (src < dst, one row per edge); directed graphs one row per arc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EDGE_COLS = ("src", "dst", "weight")
+
+
+def make_edges(spark: SparkSession, pairs, weights=None) -> DataFrame:
+    """Build an edge DataFrame from python pairs (test fixture helper)."""
+    if weights is None:
+        rows = [(int(s), int(d), 1.0) for s, d in pairs]
+    else:
+        rows = [(int(s), int(d), float(w)) for (s, d), w in zip(pairs, weights)]
+    return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
+def prepare_edges(edges: DataFrame, weight_default: float = 1.0) -> DataFrame:
+    """Impute missing weights and drop self-loops.
+
+    Mirrors reference default-weight imputation (OllivierRicci.py:410-413,
+    696-699) and self-loop removal (OllivierRicci.py:701-704).
+    """
+    if "weight" not in edges.columns:
+        edges = edges.withColumn("weight", F.lit(float(weight_default)))
+    edges = edges.withColumn(
+        "weight", F.coalesce(F.col("weight").cast("double"), F.lit(float(weight_default)))
+    )
+    return edges.filter(F.col("src") != F.col("dst"))
+
+
+def canonicalize(edges: DataFrame) -> DataFrame:
+    """Undirected canonical form: (least, greatest) endpoints, deduped."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Both-direction view of an undirected (canonical) edge table."""
+    return edges.select("src", "dst", "weight").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+
+
+def edges_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic link graph over the ``documents`` table (FIXTURES.md F2).
+
+    Outlinks of doc i: ``dst_j = (i*31 + j*17 + 7) % N`` for ``j in
+    range(i % 5)``; self-loops dropped, (src, dst) deduped, weight 1.0.
+    The same arithmetic is reproducible in ANSI SQL for DuckDB oracles
+    (see __spark_entry__.oracle_sql). N is joined in as a broadcast scalar
+    so the plan stays fully declarative (no driver-side collect).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    out = (
+        docs.filter(F.col("doc_id") % 5 > 0)
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.col("doc_id") % 5 - 1)))
+        .join(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 31 + F.col("j") * 17 + 7) % F.col("n")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+    return out
+
+
+def edges_sql_cte(table: str = "documents") -> str:
+    """DuckDB CTE producing the identical edge table (for oracle_sql)."""
+    return f"""
+links AS (
+    SELECT d.doc_id AS src,
+           (d.doc_id * 31 + j.j * 17 + 7) % (SELECT count(*) FROM {table}) AS dst
+    FROM {table} d, LATERAL (SELECT unnest(generate_series(0, d.doc_id % 5 - 1)) AS j) j
+    WHERE d.doc_id % 5 > 0
+),
+edges AS (
+    SELECT DISTINCT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM links WHERE dst <> src
+)"""

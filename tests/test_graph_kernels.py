@@ -1,0 +1,101 @@
+"""North-rule graph kernels vs oracles (nx / vendored pure-python)."""
+
+import networkx as nx
+import pytest
+
+from conftest import lpa_majority_oracle, lpa_min_oracle, pagerank_oracle
+from graphriccicurvature_spark.operators.components import connected_components
+from graphriccicurvature_spark.operators.degrees import degree_table
+from graphriccicurvature_spark.operators.labelprop import label_propagation
+from graphriccicurvature_spark.operators.pagerank import pagerank
+from graphriccicurvature_spark.operators.triangles import (
+    triangle_count_global,
+    triangle_counts,
+)
+from graphriccicurvature_spark.sources.edges import make_edges
+
+
+def _unweighted_karate():
+    G = nx.karate_club_graph()
+    for _, _, d in G.edges(data=True):
+        d.clear()
+    return G
+
+
+def test_degrees(spark):
+    G = _unweighted_karate()
+    deg = {r.node: r.degree for r in degree_table(make_edges(spark, list(G.edges()))).collect()}
+    assert deg == dict(G.degree())
+
+
+def test_pagerank_undirected_karate(spark):
+    G = _unweighted_karate()
+    got = {r.node: r.pagerank for r in pagerank(make_edges(spark, list(G.edges())), directed=False).collect()}
+    want = pagerank_oracle(G)
+    assert max(abs(got[n] - want[n]) for n in want) < 1e-6
+
+
+def test_pagerank_directed_with_dangling(spark):
+    G = nx.DiGraph([(0, 1), (1, 2), (2, 0), (2, 3), (4, 0)])  # 3 dangling
+    got = {r.node: r.pagerank for r in pagerank(make_edges(spark, list(G.edges())), directed=True).collect()}
+    want = pagerank_oracle(G)
+    assert max(abs(got[n] - want[n]) for n in want) < 1e-6
+
+
+def test_pagerank_weighted(spark):
+    G = nx.karate_club_graph()  # keeps its native integer weights
+    pairs = list(G.edges())
+    weights = [float(G[u][v]["weight"]) for u, v in pairs]
+    got = {
+        r.node: r.pagerank
+        for r in pagerank(make_edges(spark, pairs, weights), directed=False).collect()
+    }
+    want = pagerank_oracle(G)
+    assert max(abs(got[n] - want[n]) for n in want) < 1e-6
+
+
+def test_connected_components_random(spark):
+    G = nx.gnp_random_graph(120, 0.02, seed=9)
+    got = {r.node: r.component for r in connected_components(
+        make_edges(spark, list(G.edges())),
+        vertices=spark.createDataFrame([(n,) for n in G.nodes()], "node long"),
+    ).collect()}
+    want = {n: min(c) for c in nx.connected_components(G) for n in c}
+    assert got == want
+
+
+def test_connected_components_chain_and_isolated(spark):
+    pairs = [(i, i + 1) for i in range(0, 30)] + [(100, 101)]
+    verts = spark.createDataFrame([(n,) for n in list(range(31)) + [100, 101, 200]], "node long")
+    got = {r.node: r.component for r in connected_components(make_edges(spark, pairs), vertices=verts).collect()}
+    assert all(got[i] == 0 for i in range(31))
+    assert got[100] == got[101] == 100
+    assert got[200] == 200
+
+
+def test_triangles_karate(spark):
+    G = _unweighted_karate()
+    edges = make_edges(spark, list(G.edges()))
+    got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    want = nx.triangles(G)
+    assert all(got.get(n, 0) == want[n] for n in G.nodes())
+    assert triangle_count_global(edges).collect()[0][0] == sum(want.values()) // 3
+
+
+def test_lpa_min_matches_oracle(spark):
+    G = nx.gnp_random_graph(60, 0.05, seed=4)
+    verts = spark.createDataFrame([(n,) for n in G.nodes()], "node long")
+    got = {r.node: r.label for r in label_propagation(
+        make_edges(spark, list(G.edges())), mode="min", max_iter=8, vertices=verts
+    ).collect()}
+    want = lpa_min_oracle(G, max_iter=8)
+    assert got == want
+
+
+def test_lpa_majority_matches_oracle(spark):
+    G = nx.karate_club_graph()
+    got = {r.node: r.label for r in label_propagation(
+        make_edges(spark, list(G.edges())), mode="majority", max_iter=5, check_convergence=False
+    ).collect()}
+    want = lpa_majority_oracle(G, max_iter=5)
+    assert got == want
