@@ -104,24 +104,39 @@ def run_bench(spark) -> dict:
     }
 
 
-def _scaling_child(cpus: int) -> float:
-    """Run the Ollivier stage alone at a given parallelism; print seconds."""
+def _scaling_child(cpus: int) -> dict:
+    """Run the compute-bound Ollivier + PageRank stages at one parallelism.
+
+    Uses the dense deterministic bench graph (avg degree ~32) so per-edge
+    optimal-transport work dominates fixed job overhead — the scaling
+    measurement then reflects executor-parallel compute, which is what the
+    N -> 4N criterion is about (BASELINE.md protocol).
+    """
     spark = _spark(cpus)
     from graphriccicurvature_spark.operators.ollivier import ricci_curvature_edges
-    from graphriccicurvature_spark.sources.edges import canonicalize, edges_from_documents
+    from graphriccicurvature_spark.operators.pagerank import pagerank
+    from graphriccicurvature_spark.sources.edges import (
+        canonicalize,
+        dense_edges_from_documents,
+    )
 
-    und = canonicalize(edges_from_documents(spark, SF_DIR)).cache()
-    und.count()
+    out_degree = int(os.environ.get("SPARK_GRAFT_DENSE_DEG", "32"))
+    dense = dense_edges_from_documents(spark, SF_DIR, out_degree=out_degree).cache()
+    und = canonicalize(dense).cache()
+    n_edges = und.count()
     # warm-up pass (JIT + python worker pool), then the measured pass
     ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count()
-    t, _ = _time(lambda: ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count())
+    t_curv, _ = _time(
+        lambda: ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count()
+    )
+    t_pr, _ = _time(lambda: pagerank(dense, num_iterations=10, directed=True).count())
     spark.stop()
-    return t
+    return {"curvature_secs": t_curv, "pagerank_secs": t_pr, "n_edges": n_edges}
 
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
-        print(json.dumps({"secs": _scaling_child(int(sys.argv[2]))}))
+        print(json.dumps(_scaling_child(int(sys.argv[2]))))
         return
 
     spark = _spark(CPUS)
@@ -140,7 +155,7 @@ def main():
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        times = {}
+        res = {}
         for cpus in (8, 32):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
@@ -148,11 +163,16 @@ def main():
                 text=True,
                 env={**os.environ, "SPARK_GRAFT_SCALING": "0"},
             )
-            times[cpus] = json.loads(p.stdout.strip().splitlines()[-1])["secs"]
+            res[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
         out["scaling"] = {
-            "local8_secs": round(times[8], 3),
-            "local32_secs": round(times[32], 3),
-            "efficiency_8_to_32": round((times[8] / times[32]) / 4.0, 3),
+            "dense_n_edges": res[32]["n_edges"],
+            "curvature_local8_secs": round(res[8]["curvature_secs"], 3),
+            "curvature_local32_secs": round(res[32]["curvature_secs"], 3),
+            "curvature_efficiency_8_to_32": round(
+                (res[8]["curvature_secs"] / res[32]["curvature_secs"]) / 4.0, 3
+            ),
+            "pagerank_local8_secs": round(res[8]["pagerank_secs"], 3),
+            "pagerank_local32_secs": round(res[32]["pagerank_secs"], 3),
         }
 
     print(json.dumps(out))

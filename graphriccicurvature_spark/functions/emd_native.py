@@ -1,0 +1,266 @@
+"""C-compiled exact EMD solver (ctypes), with numpy fallback.
+
+The reference's ``ot.emd2`` is C++ network simplex; our pure-numpy SSP
+solver (functions/emd.py) is exact but ~18 ms per 33x33 problem — numpy
+micro-call overhead, not algorithm. This module compiles the *same verified
+algorithm* (successive shortest paths with potentials, line-for-line mirror
+of emd.py) to a shared library with the system compiler at import time and
+exposes a batched entry point so one ctypes call solves a whole Arrow batch.
+~100x faster per problem; falls back to the numpy solver when no compiler
+is available. Tested for exact agreement with the numpy solver in
+tests/test_kernels.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_C_SOURCE = r"""
+#include <stdlib.h>
+#include <string.h>
+
+#define INF (1.0/0.0)
+
+/* Successive-shortest-path exact transportation solve.
+   Mirrors graphriccicurvature_spark/functions/emd.py. Work arrays are
+   caller-provided so batch callers can reuse them. Returns optimal cost. */
+static double emd_one(int m, int n,
+                      const double* a, const double* b, const double* M,
+                      double* f, double* sup, double* dem,
+                      double* phi, double* psi, double* dL, double* dR,
+                      long* parL, long* parR, char* visL, char* visR)
+{
+    const double TOL = 1e-12;
+    int i, j, p;
+    double total = 0.0, suma = 0.0, sumb = 0.0, moved = 0.0;
+
+    if (m == 0 || n == 0) return 0.0;
+    memcpy(sup, a, m * sizeof(double));
+    memcpy(dem, b, n * sizeof(double));
+    memset(f, 0, (size_t)m * n * sizeof(double));
+    memset(phi, 0, m * sizeof(double));
+    memset(psi, 0, n * sizeof(double));
+    for (i = 0; i < m; i++) suma += a[i];
+    for (j = 0; j < n; j++) sumb += b[j];
+    total = suma < sumb ? suma : sumb;
+
+    int max_phases = 8 * (m + n) + 64;
+    for (p = 0; p < max_phases; p++) {
+        if (total - moved <= TOL * (total > 1.0 ? total : 1.0)) break;
+        /* multi-source Dijkstra over the bipartite residual graph */
+        for (i = 0; i < m; i++) { dL[i] = sup[i] > TOL ? 0.0 : INF; visL[i] = 0; parL[i] = -1; }
+        for (j = 0; j < n; j++) { dR[j] = INF; visR[j] = 0; parR[j] = -1; }
+        int jstar = -1;
+        for (;;) {
+            int iL = -1, jR = -1;
+            double vL = INF, vR = INF;
+            for (i = 0; i < m; i++) if (!visL[i] && dL[i] < vL) { vL = dL[i]; iL = i; }
+            for (j = 0; j < n; j++) if (!visR[j] && dR[j] < vR) { vR = dR[j]; jR = j; }
+            if (vL == INF && vR == INF) break;
+            if (vR <= vL) {
+                visR[jR] = 1;
+                if (dem[jR] > TOL) { jstar = jR; break; }
+                /* relax backward arcs j -> i where f[i][j] > 0 (reduced cost 0) */
+                for (i = 0; i < m; i++) {
+                    if (!visL[i] && f[(size_t)i * n + jR] > TOL && vR < dL[i]) {
+                        dL[i] = vR; parL[i] = jR;
+                    }
+                }
+            } else {
+                visL[iL] = 1;
+                const double* Mi = M + (size_t)iL * n;
+                double base = vL - phi[iL];
+                for (j = 0; j < n; j++) {
+                    if (visR[j]) continue;
+                    double c = Mi[j] - psi[j] + base; /* vL + reduced cost */
+                    double cr = c - vL;               /* clamp float noise */
+                    if (cr < 0.0) c = vL;
+                    if (c < dR[j]) { dR[j] = c; parR[j] = iL; }
+                }
+            }
+        }
+        if (jstar < 0) break;
+        double D = dR[jstar];
+        /* potential update (Johnson), clamped at D */
+        for (i = 0; i < m; i++) phi[i] -= (dL[i] < D ? dL[i] : D);
+        for (j = 0; j < n; j++) psi[j] += (dR[j] < D ? dR[j] : D);
+        /* trace augmenting path, find bottleneck */
+        double amt = dem[jstar];
+        long src_i = -1;
+        { /* first pass: bottleneck */
+            long jj = jstar;
+            for (;;) {
+                long ii = parR[jj];
+                long pj = parL[ii];
+                if (pj == -1) { src_i = ii; break; }
+                if (f[(size_t)ii * n + pj] < amt) amt = f[(size_t)ii * n + pj];
+                jj = pj;
+            }
+        }
+        if (sup[src_i] < amt) amt = sup[src_i];
+        if (amt <= TOL) break;
+        { /* second pass: apply */
+            long jj = jstar;
+            for (;;) {
+                long ii = parR[jj];
+                f[(size_t)ii * n + jj] += amt;
+                long pj = parL[ii];
+                if (pj == -1) break;
+                f[(size_t)ii * n + pj] -= amt;
+                jj = pj;
+            }
+        }
+        sup[src_i] -= amt;
+        dem[jstar] -= amt;
+        moved += amt;
+    }
+    {
+        double cost = 0.0;
+        for (i = 0; i < m; i++)
+            for (j = 0; j < n; j++) cost += f[(size_t)i * n + j] * M[(size_t)i * n + j];
+        return cost;
+    }
+}
+
+/* in-place dense Floyd-Warshall on an n x n row-major matrix */
+void floyd_warshall(long n, double* D)
+{
+    for (long k = 0; k < n; k++) {
+        const double* Dk = D + k * n;
+        for (long i = 0; i < n; i++) {
+            double dik = D[i * n + k];
+            if (dik == INF) continue;
+            double* Di = D + i * n;
+            for (long j = 0; j < n; j++) {
+                double via = dik + Dk[j];
+                if (via < Di[j]) Di[j] = via;
+            }
+        }
+    }
+}
+
+/* batch entry: k problems, flattened with offsets */
+void emd_batch(int k, const long* ms, const long* ns,
+               const double* a_flat, const long* a_off,
+               const double* b_flat, const long* b_off,
+               const double* M_flat, const long* M_off,
+               double* out)
+{
+    long mmax = 0, nmax = 0;
+    for (int t = 0; t < k; t++) {
+        if (ms[t] > mmax) mmax = ms[t];
+        if (ns[t] > nmax) nmax = ns[t];
+    }
+    if (mmax == 0 || nmax == 0) { for (int t = 0; t < k; t++) out[t] = 0.0; return; }
+    double* f   = malloc((size_t)mmax * nmax * sizeof(double));
+    double* sup = malloc(mmax * sizeof(double));
+    double* dem = malloc(nmax * sizeof(double));
+    double* phi = malloc(mmax * sizeof(double));
+    double* psi = malloc(nmax * sizeof(double));
+    double* dL  = malloc(mmax * sizeof(double));
+    double* dR  = malloc(nmax * sizeof(double));
+    long* parL  = malloc(mmax * sizeof(long));
+    long* parR  = malloc(nmax * sizeof(long));
+    char* visL  = malloc(mmax);
+    char* visR  = malloc(nmax);
+    for (int t = 0; t < k; t++) {
+        out[t] = emd_one((int)ms[t], (int)ns[t],
+                         a_flat + a_off[t], b_flat + b_off[t], M_flat + M_off[t],
+                         f, sup, dem, phi, psi, dL, dR, parL, parR, visL, visR);
+    }
+    free(f); free(sup); free(dem); free(phi); free(psi);
+    free(dL); free(dR); free(parL); free(parR); free(visL); free(visR);
+}
+"""
+
+
+def _build() -> ctypes.CDLL | None:
+    tag = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
+    cache_dir = os.environ.get("GRC_NATIVE_DIR", os.path.join(tempfile.gettempdir(), "grc_native"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"emd_{tag}.so")
+    if not os.path.exists(so_path):
+        c_path = os.path.join(cache_dir, f"emd_{tag}.c")
+        with open(c_path, "w") as fh:
+            fh.write(_C_SOURCE)
+        try:
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", "-o", so_path + ".tmp", c_path],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(so_path + ".tmp", so_path)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+    lib.floyd_warshall.restype = None
+    lib.floyd_warshall.argtypes = [
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
+    lib.emd_batch.restype = None
+    lib.emd_batch.argtypes = [
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.float64, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.float64, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.float64, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.float64, flags="C"),
+    ]
+    return lib
+
+
+_LIB = _build()
+
+
+def available() -> bool:
+    return _LIB is not None
+
+
+def emd_batch_native(xs: list, ys: list, ds: list) -> np.ndarray:
+    """Solve a batch of EMD problems in one native call."""
+    k = len(xs)
+    ms = np.array([len(x) for x in xs], dtype=np.int64)
+    ns = np.array([len(y) for y in ys], dtype=np.int64)
+    a_off = np.zeros(k, dtype=np.int64)
+    b_off = np.zeros(k, dtype=np.int64)
+    m_off = np.zeros(k, dtype=np.int64)
+    np.cumsum(ms[:-1], out=a_off[1:]) if k > 1 else None
+    np.cumsum(ns[:-1], out=b_off[1:]) if k > 1 else None
+    sizes = ms * ns
+    np.cumsum(sizes[:-1], out=m_off[1:]) if k > 1 else None
+    a_flat = np.ascontiguousarray(np.concatenate(xs) if k else np.empty(0), dtype=np.float64)
+    b_flat = np.ascontiguousarray(np.concatenate(ys) if k else np.empty(0), dtype=np.float64)
+    m_flat = np.ascontiguousarray(
+        np.concatenate([np.asarray(d, dtype=np.float64).ravel() for d in ds]) if k else np.empty(0)
+    )
+    out = np.empty(k, dtype=np.float64)
+    _LIB.emd_batch(k, ms, ns, a_flat, a_off, b_flat, b_off, m_flat, m_off, out)
+    return out
+
+
+def emd_exact_native(a, b, M) -> float:
+    return float(emd_batch_native([np.asarray(a, float)], [np.asarray(b, float)], [M])[0])
+
+
+def floyd_warshall_native(W: np.ndarray) -> np.ndarray:
+    """All-pairs shortest paths, in C, on a copy of ``W`` (inf = no edge)."""
+    D = np.ascontiguousarray(W, dtype=np.float64).copy()
+    n = D.shape[0]
+    idx = np.arange(n)
+    D[idx, idx] = 0.0
+    _LIB.floyd_warshall(n, D)
+    return D

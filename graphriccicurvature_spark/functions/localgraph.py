@@ -16,8 +16,32 @@ import numpy as np
 from .emd import emd_exact
 from .sinkhorn import sinkhorn_cost
 
+try:  # C fast path (compiled at import; exact same algorithm — see emd_native)
+    from . import emd_native as _native
+
+    _NATIVE = _native.available()
+except Exception:  # pragma: no cover
+    _native = None
+    _NATIVE = False
+
 EPSILON = 1e-7  # matches reference OllivierRicci.py:35
 OTD_SINKHORN_THRESHOLD = 2000  # reference OllivierRicci.py:48
+
+
+def apsp(W: np.ndarray) -> np.ndarray:
+    """All-pairs shortest paths (native C when available)."""
+    if _NATIVE:
+        return _native.floyd_warshall_native(W)
+    return floyd_warshall(W)
+
+
+def solve_emd_batch(xs: list, ys: list, ds: list) -> np.ndarray:
+    """Batch of exact EMD solves — one native call per Arrow batch."""
+    if not xs:
+        return np.empty(0)
+    if _NATIVE:
+        return _native.emd_batch_native(xs, ys, ds)
+    return np.array([emd_exact(x, y, d) for x, y, d in zip(xs, ys, ds)])
 
 
 def floyd_warshall(W: np.ndarray) -> np.ndarray:
@@ -110,7 +134,7 @@ def component_curvature(
     W[si, di] = g_w
     if not directed:
         W[di, si] = g_w
-    D = floyd_warshall(W)
+    D = apsp(W)
 
     finite = np.isfinite(W)
     out_nbrs = [np.nonzero(finite[i])[0] for i in range(n)]
@@ -132,7 +156,11 @@ def component_curvature(
             dist_cache[key] = got
         return got
 
-    kappas = np.empty(len(eval_src), dtype=np.float64)
+    kappas = np.zeros(len(eval_src), dtype=np.float64)
+    emd_idx: list[int] = []
+    emd_x: list[np.ndarray] = []
+    emd_y: list[np.ndarray] = []
+    emd_d: list[np.ndarray] = []
     for e in range(len(eval_src)):
         s = lut[int(eval_src[e])]
         t = lut[int(eval_dst[e])]
@@ -147,6 +175,7 @@ def component_curvature(
             t_nb = out_nbrs[t]
             share = (1.0 - alpha) / (len(s_nb) * len(t_nb))
             m = alpha * D[s, t] + share * D[np.ix_(s_nb, t_nb)].sum()
+            kappas[e] = 1.0 - m / w_st  # reference :344
         else:
             x, xs = dist_of(s, "predecessors" if directed else "successors")
             y, ys = dist_of(t, "successors")
@@ -157,7 +186,15 @@ def component_curvature(
                 and len(y) > OTD_SINKHORN_THRESHOLD
             ):
                 m = sinkhorn_cost(x, y, d, reg=sinkhorn_reg)
-            else:
-                m = emd_exact(x, y, d)
-        kappas[e] = 1.0 - m / w_st  # reference :344
+                kappas[e] = 1.0 - m / w_st
+            else:  # deferred: all exact-OT solves go out in one batched call
+                emd_idx.append(e)
+                emd_x.append(x)
+                emd_y.append(y)
+                emd_d.append(d)
+    if emd_idx:
+        ms = solve_emd_batch(emd_x, emd_y, emd_d)
+        idx = np.asarray(emd_idx, dtype=np.int64)
+        w_eval = np.array([W[lut[int(eval_src[e])], lut[int(eval_dst[e])]] for e in idx])
+        kappas[idx] = 1.0 - ms / w_eval
     return kappas

@@ -38,11 +38,11 @@ from pyspark.sql.types import (
 from ..functions.localgraph import (
     EPSILON,
     OTD_SINKHORN_THRESHOLD,
+    apsp,
     component_curvature,
-    floyd_warshall,
     node_distribution,
+    solve_emd_batch,
 )
-from ..functions.emd import emd_exact
 from ..functions.sinkhorn import sinkhorn_cost
 from ..sources.edges import canonicalize, prepare_edges, symmetrize
 from .components import connected_components
@@ -148,8 +148,28 @@ def _component_mode(
 # --------------------------------------------------------------------------
 
 
-def _adjacency(sym_or_directed: DataFrame, key: str, other: str, name: str) -> DataFrame:
-    """Adjacency arrays grouped by ``key`` (one shuffle, map-side combine)."""
+def _adjacency(
+    sym_or_directed: DataFrame, key: str, other: str, name: str, cap: int | None = None
+) -> DataFrame:
+    """Adjacency arrays grouped by ``key`` (one shuffle, map-side combine).
+
+    ``cap`` bounds array length for power-law hub vertices: the ``cap``
+    *smallest-weight* (= nearest, = highest transformed mass for exp_power>0)
+    neighbors are kept, matching the reference's top-k heap tie-break
+    (largest node id wins, OllivierRicci.py:89-92). Capping both the support
+    and the gathered member adjacency keeps the per-edge ego block O(k^2)
+    regardless of hub degree — without it a degree-10^6 vertex would ship
+    its whole neighbor list once per incident edge.
+    """
+    if cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(F.asc("weight"), F.desc(other))
+        sym_or_directed = (
+            sym_or_directed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
     return (
         sym_or_directed.groupBy(F.col(key).alias("node"))
         .agg(
@@ -168,9 +188,14 @@ def _ego_mode(edges, directed, alpha, method, base, exp_power, nbr_topk, edge_li
     out_view = out_view.cache()
     # out-adjacency defines both successor distributions and directed
     # shortest paths; predecessor adjacency only needed for directed graphs.
-    adj_out = _adjacency(out_view, "src", "dst", "out").cache()
+    # Arrays capped at nbr_topk: exactly the reference's support truncation
+    # (OllivierRicci.py:89-92) for distributions, and the documented
+    # ego-distance approximation for hub vertices at scale.
+    adj_out = _adjacency(out_view, "src", "dst", "out", cap=nbr_topk).cache()
     adj_in = (
-        _adjacency(out_view, "dst", "src", "in").cache() if directed else None
+        _adjacency(out_view, "dst", "src", "in", cap=nbr_topk).cache()
+        if directed
+        else None
     )
 
     ev = edges.select("src", "dst", "weight")
@@ -239,10 +264,139 @@ def _ego_mode(edges, directed, alpha, method, base, exp_power, nbr_topk, edge_li
     )
 
     def solve(batches):
-        for pdf in batches:
-            yield _solve_ego_batch(pdf, **params)
+        for rb in batches:
+            yield _solve_ego_arrow(rb, **params)
 
-    return full.mapInPandas(solve, _RESULT_SCHEMA)
+    # mapInArrow: nested list columns stay as flat Arrow buffers
+    # (values + offsets) — no per-row python object materialization.
+    return full.mapInArrow(solve, _RESULT_SCHEMA)
+
+
+def _flat_list(col):
+    """(offsets, values) numpy views of an Arrow list column (absolute offsets)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = col.offsets.to_numpy()
+    return off, col.values
+
+
+def _solve_ego_arrow(
+    rb,
+    *,
+    directed: bool,
+    alpha: float,
+    method: str,
+    base: float,
+    exp_power: float,
+    nbr_topk: int,
+    sinkhorn_reg: float,
+):
+    """Per-Arrow-batch ego solve on flat list buffers (zero python objects).
+
+    Per edge, the local dense weight matrix is built with vectorized
+    searchsorted scatter, distances via native Floyd-Warshall, and all exact
+    OT problems of the batch go out in ONE native EMD call.
+    """
+    import pyarrow as pa
+
+    n_rows = rb.num_rows
+    src = rb.column(rb.schema.get_field_index("src")).to_numpy()
+    dst = rb.column(rb.schema.get_field_index("dst")).to_numpy()
+    wts = rb.column(rb.schema.get_field_index("weight")).to_numpy()
+
+    mem_off, mem_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("members")))
+    mem_vals = mem_vals_arr.to_numpy()
+    # nested list<list<T>>: outer offsets align with members (one inner list
+    # per member); inner offsets/values are the flat adjacency buffers
+    nb_outer_off, nb_inner = _flat_list(rb.column(rb.schema.get_field_index("members_nbrs")))
+    nb_inner_off, nb_vals_arr = _flat_list(nb_inner)
+    nb_vals = nb_vals_arr.to_numpy()
+    ws_outer_off, ws_inner = _flat_list(rb.column(rb.schema.get_field_index("members_ws")))
+    ws_inner_off, ws_vals_arr = _flat_list(ws_inner)
+    ws_vals = ws_vals_arr.to_numpy()
+
+    s_off, s_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("s_nbrs")))
+    s_vals = s_vals_arr.to_numpy()
+    sw_off, sw_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("s_ws")))
+    sw_vals = sw_vals_arr.to_numpy()
+    t_off, t_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("t_nbrs")))
+    t_vals = t_vals_arr.to_numpy()
+    tw_off, tw_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("t_ws")))
+    tw_vals = tw_vals_arr.to_numpy()
+
+    out = np.zeros(n_rows, dtype=np.float64)
+    emd_idx: list[int] = []
+    emd_x: list[np.ndarray] = []
+    emd_y: list[np.ndarray] = []
+    emd_d: list[np.ndarray] = []
+
+    for r in range(n_rows):
+        w_st = float(wts[r])
+        if w_st < EPSILON:  # reference :316-320
+            out[r] = 0.0
+            continue
+        members = mem_vals[mem_off[r] : mem_off[r + 1]]
+        n = len(members)
+        order = np.argsort(members, kind="stable")
+        sm = members[order]
+        # flat adjacency block of this edge's members
+        m0, m1 = nb_outer_off[r], nb_outer_off[r + 1]
+        blk0, blk1 = nb_inner_off[m0], nb_inner_off[m1]
+        nbr_block = nb_vals[blk0:blk1]
+        w_block = ws_vals[ws_inner_off[ws_outer_off[r]] : ws_inner_off[ws_outer_off[r] + (m1 - m0)]]
+        row_lens = np.diff(nb_inner_off[m0 : m1 + 1])
+        local_rows = np.repeat(np.arange(n), row_lens)
+        pos = np.searchsorted(sm, nbr_block)
+        pos_c = np.minimum(pos, n - 1)
+        valid = sm[pos_c] == nbr_block
+        W = np.full((n, n), np.inf)
+        np.minimum.at(W, (local_rows[valid], order[pos_c[valid]]), w_block[valid])
+        D = apsp(W)
+
+        def loc(ids):
+            p = np.searchsorted(sm, ids)
+            return order[np.minimum(p, n - 1)]
+
+        si = int(loc(np.array([src[r]]))[0])
+        ti = int(loc(np.array([dst[r]]))[0])
+        s_idx = loc(s_vals[s_off[r] : s_off[r + 1]])
+        t_idx = loc(t_vals[t_off[r] : t_off[r + 1]])
+        s_ws = sw_vals[sw_off[r] : sw_off[r + 1]]
+        t_ws = tw_vals[tw_off[r] : tw_off[r + 1]]
+
+        if method == "ATD":  # reference :257-294
+            share = (1.0 - alpha) / (len(s_idx) * len(t_idx))
+            m = alpha * D[si, ti] + share * D[np.ix_(s_idx, t_idx)].sum()
+            out[r] = 1.0 - m / w_st  # reference :344
+        else:
+            x, xs = node_distribution(si, s_idx, s_ws, alpha, base, exp_power, nbr_topk)
+            y, ys = node_distribution(ti, t_idx, t_ws, alpha, base, exp_power, nbr_topk)
+            d = D[np.ix_(xs, ys)]
+            if method == "Sinkhorn" or (
+                method == "OTDSinkhornMix"
+                and len(x) > OTD_SINKHORN_THRESHOLD
+                and len(y) > OTD_SINKHORN_THRESHOLD
+            ):
+                out[r] = 1.0 - sinkhorn_cost(x, y, d, reg=sinkhorn_reg) / w_st
+            else:  # deferred — batched exact OT per Arrow batch (north star)
+                emd_idx.append(r)
+                emd_x.append(x)
+                emd_y.append(y)
+                emd_d.append(d)
+    if emd_idx:
+        ms = solve_emd_batch(emd_x, emd_y, emd_d)
+        idx = np.asarray(emd_idx, dtype=np.int64)
+        out[idx] = 1.0 - ms / wts[idx].astype(np.float64)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(src.astype(np.int64)),
+            pa.array(dst.astype(np.int64)),
+            pa.array(out),
+        ],
+        names=["src", "dst", "ricci_curvature"],
+    )
 
 
 def _solve_ego_batch(
@@ -269,6 +423,10 @@ def _solve_ego_batch(
     c_sws = pdf["s_ws"].values
     c_tnbrs = pdf["t_nbrs"].values
     c_tws = pdf["t_ws"].values
+    emd_idx: list[int] = []
+    emd_x: list[np.ndarray] = []
+    emd_y: list[np.ndarray] = []
+    emd_d: list[np.ndarray] = []
     for r in range(n_rows):
         w_st = float(c_w[r])
         if w_st < EPSILON:
@@ -289,7 +447,7 @@ def _solve_ego_batch(
             W[mi, nb_idx[keep]] = np.minimum(
                 W[mi, nb_idx[keep]], np.asarray(ws, dtype=np.float64)[keep]
             )
-        D = floyd_warshall(W)
+        D = apsp(W)
         si, ti = lut[s], lut[t]
 
         s_nbrs = np.asarray(c_snbrs[r] if c_snbrs[r] is not None else [], dtype=np.int64)
@@ -302,6 +460,7 @@ def _solve_ego_batch(
         if method == "ATD":  # reference :257-294
             share = (1.0 - alpha) / (len(s_idx) * len(t_idx))
             m = alpha * D[si, ti] + share * D[np.ix_(s_idx, t_idx)].sum()
+            out[r] = 1.0 - m / w_st  # reference :344
         else:
             x, xs = node_distribution(si, s_idx, s_ws, alpha, base, exp_power, nbr_topk)
             y, ys = node_distribution(ti, t_idx, t_ws, alpha, base, exp_power, nbr_topk)
@@ -312,9 +471,16 @@ def _solve_ego_batch(
                 and len(y) > OTD_SINKHORN_THRESHOLD
             ):
                 m = sinkhorn_cost(x, y, d, reg=sinkhorn_reg)
-            else:
-                m = emd_exact(x, y, d)
-        out[r] = 1.0 - m / w_st  # reference :344
+                out[r] = 1.0 - m / w_st
+            else:  # deferred — batched exact OT per Arrow batch (north star)
+                emd_idx.append(r)
+                emd_x.append(x)
+                emd_y.append(y)
+                emd_d.append(d)
+    if emd_idx:
+        ms = solve_emd_batch(emd_x, emd_y, emd_d)
+        idx = np.asarray(emd_idx, dtype=np.int64)
+        out[idx] = 1.0 - ms / c_w[idx].astype(np.float64)
     return pd.DataFrame(
         {
             "src": pdf["src"].values.astype(np.int64),

@@ -21,10 +21,18 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER", "local[4]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "8"))
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        # tmpfs-backed shuffle: on a single box, disk-backed shuffle saturates
+        # well below core count and masks compute scaling; a real cluster adds
+        # shuffle bandwidth with every node, which tmpfs approximates here.
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.local.dir", local_dir or "/tmp")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -83,6 +83,31 @@ def edges_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def dense_edges_from_documents(
+    spark: SparkSession, sf_dir: str, out_degree: int = 16
+) -> DataFrame:
+    """Denser deterministic variant of the F2 link graph (bench workload).
+
+    Every doc gets exactly ``out_degree`` outlinks
+    ``dst_j = (i*31 + j*127 + 7) % N`` — avg degree ~2*out_degree, which
+    makes the per-edge ego-net OT work dominate fixed Spark overhead so
+    parallel-scaling measurements reflect compute, not job setup.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    return (
+        docs.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(out_degree - 1))))
+        .join(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 31 + F.col("j") * 127 + 7) % F.col("n")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
 def edges_sql_cte(table: str = "documents") -> str:
     """DuckDB CTE producing the identical edge table (for oracle_sql)."""
     return f"""

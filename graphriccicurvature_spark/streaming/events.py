@@ -53,6 +53,36 @@ def windowed_event_counts_stream(
     )
 
 
+def incremental_edge_ingest(
+    spark: SparkSession,
+    pages_dir: str,
+    schema,
+    edges_out: str,
+    checkpoint: str,
+):
+    """Fold streamed page micro-batches into the canonical edge table.
+
+    readStream over a pages directory -> per-batch link extraction
+    (sources.extract, vectorized) -> append to the canonical parquet edge
+    table via foreachBatch. Exactly-once per file via the stream checkpoint.
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from ..sources.extract import pages_to_edges
+
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+
+    def fold(batch_df, batch_id):
+        edges, _ = pages_to_edges(batch_df)
+        edges.write.mode("append").parquet(edges_out)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_memory(stream_df, name: str):
     """Drain a stream with availableNow into an in-memory sink (tests)."""
     q = (

@@ -85,6 +85,36 @@ def test_floyd_warshall_vs_networkx():
             assert abs(D[u, v] - dist) < 1e-9
 
 
+def test_native_solvers_match_numpy():
+    """The C fast path must agree with the (oracle-verified) numpy solvers."""
+    from graphriccicurvature_spark.functions import emd_native
+
+    if not emd_native.available():
+        pytest.skip("no C compiler available; numpy fallback is in use")
+    rng = np.random.RandomState(13)
+    for _ in range(60):
+        m, n = rng.randint(1, 30), rng.randint(1, 30)
+        a = rng.rand(m)
+        a /= a.sum()
+        b = rng.rand(n)
+        b /= b.sum()
+        M = rng.randint(0, 4, (m, n)).astype(float) if rng.rand() < 0.5 else rng.rand(m, n) * 5
+        assert abs(emd_native.emd_exact_native(a, b, M) - emd_exact(a, b, M)) < 1e-10
+    # batched == singles
+    xs = [np.array([0.5, 0.5]), np.array([1.0])]
+    ys = [np.array([1.0]), np.array([0.25, 0.75])]
+    ds = [np.array([[1.0], [3.0]]), np.array([[2.0, 4.0]])]
+    out = emd_native.emd_batch_native(xs, ys, ds)
+    assert abs(out[0] - 2.0) < 1e-12 and abs(out[1] - 3.5) < 1e-12
+    # native Floyd-Warshall == numpy
+    W = np.full((20, 20), np.inf)
+    for i in range(20):
+        for j in rng.choice(20, 4, replace=False):
+            if i != j:
+                W[i, j] = float(rng.rand() + 0.05)
+    assert np.allclose(emd_native.floyd_warshall_native(W), floyd_warshall(W))
+
+
 def test_sinkhorn_batch_matches_single_and_bounds():
     rng = np.random.RandomState(11)
     a = rng.rand(4)
