@@ -119,6 +119,28 @@ def _q_forman_aug(spark, sf):
     )
 
 
+def _q_forman_nodes(spark, sf):
+    from graphriccicurvature_spark.operators.forman import (
+        forman_curvature,
+        forman_node_curvature,
+    )
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    k = forman_curvature(und, "1d")
+    return forman_node_curvature(und, k).select(
+        "node", F.round("forman_curvature", 6).alias("forman_curvature")
+    )
+
+
+def _q_ollivier_salted(spark, sf):
+    from graphriccicurvature_spark.operators.ollivier import ricci_curvature_edges
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return ricci_curvature_edges(und, method="OTD", alpha=0.5, mode="ego", salt=4).select(
+        "src", "dst", F.round("ricci_curvature", 6).alias("ricci_curvature")
+    )
+
+
 def _q_pagerank(spark, sf):
     from graphriccicurvature_spark.operators.pagerank import pagerank
 
@@ -304,6 +326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weight_cut": _q_weight_cut,
         "forman_1d": _q_forman_1d,
         "forman_aug": _q_forman_aug,
+        "forman_nodes": _q_forman_nodes,
+        "ollivier_otd_ego_salted": _q_ollivier_salted,
         "pagerank_5": _q_pagerank,
         "cc_bounded_8": _q_cc,
         "cc_exact": _q_cc_exact,
@@ -403,6 +427,22 @@ def oracle_sql() -> dict[str, str]:
         JOIN deg d1 ON d1.node = u.src
         JOIN deg d2 ON d2.node = u.dst
         LEFT JOIN faces f ON f.src = u.src AND f.dst = u.dst
+    """
+    sql["forman_nodes"] = f"""
+        WITH {_E}, {_UND},
+        fc AS (
+            SELECT u.src, u.dst,
+                   CAST(4 - d1.degree - d2.degree AS DOUBLE) AS f
+            FROM und u
+            JOIN deg d1 ON d1.node = u.src
+            JOIN deg d2 ON d2.node = u.dst
+        ),
+        contrib AS (
+            SELECT src AS node, f FROM fc UNION ALL SELECT dst AS node, f FROM fc
+        )
+        SELECT c.node, round(sum(c.f) / d.degree, 6) AS forman_curvature
+        FROM contrib c JOIN deg d ON d.node = c.node
+        GROUP BY c.node, d.degree
     """
     sql["pagerank_5"] = f"""
         WITH RECURSIVE {_E},

@@ -70,6 +70,7 @@ def ricci_curvature_edges(
     edge_list: DataFrame | None = None,
     sinkhorn_reg: float = 1e-1,
     components: DataFrame | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Returns ``(src, dst, ricci_curvature)`` for the requested edges.
 
@@ -78,6 +79,9 @@ def ricci_curvature_edges(
     defines distributions and distances. ``components`` (node, component)
     may be supplied to skip the CC pass when the caller already has it
     (e.g. the Ricci-flow loop, whose topology is round-invariant).
+    ``salt`` (ego mode) replicates hub adjacency rows across that many salt
+    buckets for the member-gather join — explicit skew handling for
+    power-law web graphs on top of AQE's runtime skew-join splitting.
     """
     assert mode in ("component", "ego")
     edges = prepare_edges(edges)
@@ -87,7 +91,8 @@ def ricci_curvature_edges(
             components,
         )
     return _ego_mode(
-        edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg
+        edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg,
+        salt,
     )
 
 
@@ -179,7 +184,10 @@ def _adjacency(
     )
 
 
-def _ego_mode(edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg):
+def _ego_mode(
+    edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg,
+    salt=None,
+):
     spark = edges.sparkSession
     if directed:
         out_view = edges.select("src", "dst", "weight")
@@ -234,15 +242,23 @@ def _ego_mode(edges, directed, alpha, method, base, exp_power, nbr_topk, edge_li
             )
         ).alias("member"),
     )
-    mem_adj = members.join(
-        adj_out.select(
-            F.col("node").alias("member"),
-            F.col("out_nbrs").alias("m_nbrs"),
-            F.col("out_ws").alias("m_ws"),
-        ),
-        "member",
-        "left",
+    adj_member = adj_out.select(
+        F.col("node").alias("member"),
+        F.col("out_nbrs").alias("m_nbrs"),
+        F.col("out_ws").alias("m_ws"),
     )
+    if salt and salt > 1:
+        # explicit hub-skew salting: replicate each adjacency row across
+        # `salt` buckets; each (edge, member) demand lands in one bucket
+        adj_member = adj_member.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        members = members.withColumn(
+            "_salt", F.pmod(F.xxhash64("edge_id"), F.lit(salt)).cast("int")
+        )
+        mem_adj = members.join(adj_member, ["member", "_salt"], "left").drop("_salt")
+    else:
+        mem_adj = members.join(adj_member, "member", "left")
     gathered = mem_adj.groupBy("edge_id").agg(
         F.collect_list("member").alias("members"),
         F.collect_list(F.coalesce("m_nbrs", F.array())).alias("members_nbrs"),

@@ -53,6 +53,43 @@ def windowed_event_counts_stream(
     )
 
 
+def running_type_totals_stream(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+):
+    """Custom stateful operator: running per-event-type totals via
+    ``applyInPandasWithState`` (update mode) — the pattern for stateful
+    logic Structured Streaming's built-in aggregates can't express
+    (here kept oracle-checkable: state = (count, sum) per event_type).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+
+    def update(key, pdfs, state):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [cnt], "sum_value": [total]}
+        )
+
+    return (
+        stream.groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType="event_type string, n_events long, sum_value double",
+            stateStructType="cnt long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def incremental_edge_ingest(
     spark: SparkSession,
     pages_dir: str,

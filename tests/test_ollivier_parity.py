@@ -126,6 +126,18 @@ def test_mix_dispatch_matches_otd_below_threshold(spark):
     assert max(abs(otd[e] - mix[e]) for e in otd) < 1e-12
 
 
+def test_salted_ego_identical_to_unsalted(spark):
+    """Explicit hub-salting is a physical-plan change only."""
+    G = nx.karate_club_graph()
+    edges = make_edges(spark, list(G.edges()))
+    plain = _collect(ricci_curvature_edges(edges, method="OTD", alpha=0.5, mode="ego"))
+    salted = _collect(
+        ricci_curvature_edges(edges, method="OTD", alpha=0.5, mode="ego", salt=4)
+    )
+    assert plain.keys() == salted.keys()
+    assert max(abs(plain[e] - salted[e]) for e in plain) < 1e-12
+
+
 def test_node_curvature_aggregation(spark):
     """Node kappa = avg incident-edge kappa (reference OllivierRicci.py:510-519);
     oracle recomputed from the edge map."""

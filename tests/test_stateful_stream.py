@@ -1,0 +1,41 @@
+"""Custom stateful streaming operator (applyInPandasWithState)."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from graphriccicurvature_spark.streaming.events import running_type_totals_stream
+
+
+def test_running_type_totals_matches_batch(tmp_path, spark):
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    stream_dir = tmp_path / "ev"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", stream_dir / "p0.parquet")
+
+    out = running_type_totals_stream(spark, str(stream_dir), ev.schema)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("type_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode: take the latest row per event_type
+    got = {
+        r.event_type: (r.n_events, round(r.sum_value, 6))
+        for r in spark.sql(
+            "select * from (select *, row_number() over "
+            "(partition by event_type order by n_events desc) rn from type_totals) "
+            "where rn = 1"
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.s, 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
