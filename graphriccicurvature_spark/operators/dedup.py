@@ -114,9 +114,11 @@ def minhash_dedup(
     Returns (id, cluster, is_survivor)."""
     cands = minhash_lsh_candidates(df, id_col, text_col, shingle_k, num_perm, bands)
     sh = word_shingles(F.col(text_col), shingle_k)
+    # exact-Jaccard verify over hashed shingles (64-bit) — identical result
+    # modulo hash collisions, far cheaper than string-array set ops
     sets = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(sh).alias("shset"),
+        F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("shset"),
     )
     verified = (
         cands.join(sets.select(F.col("id").alias("a"), F.col("shset").alias("sa")), "a")

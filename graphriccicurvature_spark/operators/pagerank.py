@@ -58,9 +58,11 @@ def pagerank(
     base = (1.0 - damping) / n
     iters = num_iterations if num_iterations is not None else max_iter
     for _ in range(iters):
-        dangle = (
-            ranks.join(dangling, "node", "left_semi").agg(F.sum("pagerank")).collect()[0][0]
-            or 0.0
+        # dangling mass folded in as a broadcast scalar aggregate — keeps the
+        # whole round a single job (no driver-side collect for the formula)
+        dangle_df = (
+            ranks.join(dangling, "node", "left_semi")
+            .agg(F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("_dangle"))
         )
         contrib = (
             trans.join(ranks, trans.src == ranks.node)
@@ -70,11 +72,13 @@ def pagerank(
         )
         new_ranks = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangle_df))
             .select(
                 "node",
                 (
                     F.lit(base)
-                    + F.lit(damping) * (F.coalesce("c", F.lit(0.0)) + F.lit(dangle / n))
+                    + F.lit(damping)
+                    * (F.coalesce("c", F.lit(0.0)) + F.col("_dangle") / F.lit(float(n)))
                 ).alias("pagerank"),
             )
             .transform(truncate_plan)

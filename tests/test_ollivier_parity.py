@@ -126,6 +126,17 @@ def test_mix_dispatch_matches_otd_below_threshold(spark):
     assert max(abs(otd[e] - mix[e]) for e in otd) < 1e-12
 
 
+def test_directed_ego_matches_goldens(spark):
+    """Ego mode on the 5-edge DiGraph: every relevant distance lies within
+    the gathered block, so ego == exact == reference goldens here."""
+    edges = make_edges(spark, DIGRAPH_EDGES)
+    got = _collect(
+        ricci_curvature_edges(edges, method="OTD", alpha=0.5, mode="ego", directed=True)
+    )
+    for e, v in zip(DIGRAPH_EDGES, DIGRAPH_OTD):
+        assert abs(got[e] - v) < 1e-6, e
+
+
 def test_salted_ego_identical_to_unsalted(spark):
     """Explicit hub-salting is a physical-plan change only."""
     G = nx.karate_club_graph()
