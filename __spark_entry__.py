@@ -317,6 +317,26 @@ def _q_tpch_pricing(spark, sf):
     )
 
 
+def _q_tpch_revenue(spark, sf):
+    """Join-heavy relational coverage: top revenue per nation (3-way join +
+    broadcast dim, agg, top-k window)."""
+    from pyspark.sql import Window
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return rev.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_build": _q_edges,
@@ -348,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "binary_meta": _q_binary_meta,
         "tpch_pricing": _q_tpch_pricing,
+        "tpch_revenue_topk": _q_tpch_revenue,
     }
 
 
@@ -659,5 +680,21 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+    """
+    sql["tpch_revenue_topk"] = """
+        WITH rev AS (
+            SELECT n.n_name, c.c_custkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name, c.c_custkey
+        )
+        SELECT n_name, c_custkey, revenue, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC
+            ) AS rank FROM rev
+        ) WHERE rank <= 3
     """
     return sql

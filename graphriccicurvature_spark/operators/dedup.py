@@ -26,6 +26,14 @@ from .textstats import tokens, word_shingles
 _MERSENNE = (1 << 31) - 1
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Explicit numbered repartition: small-byte / heavy-CPU columns (hash
+    signatures over shingle arrays) must not be AQE-coalesced to one task —
+    byte-based coalescing can't see per-row CPU cost."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Survivors (min id per identical text). Returns (id, is_survivor, group_hash)."""
     h = F.md5(F.col(text_col)).alias("group_hash")
@@ -72,7 +80,9 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs (a < b) via MinHash-LSH band bucketing."""
     rows_per_band = num_perm // bands
     sh = word_shingles(F.col(text_col), shingle_k)
-    docs = df.select(
+    # single-file inputs arrive as one partition; spread the per-doc
+    # signature computation across the cluster before the heavy transforms
+    docs = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("sh_hashes"),
     ).filter(F.size("sh_hashes") > 0)
@@ -116,7 +126,7 @@ def minhash_dedup(
     sh = word_shingles(F.col(text_col), shingle_k)
     # exact-Jaccard verify over hashed shingles (64-bit) — identical result
     # modulo hash collisions, far cheaper than string-array set ops
-    sets = df.select(
+    sets = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("shset"),
     )
@@ -144,7 +154,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     Token hash bits vote +1/-1 per position; the sign vector packs into a
     signed 64-bit signature. Returns (id, simhash)."""
-    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = _spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     h = toks.withColumn("th", F.xxhash64("tok"))
     votes = [
         F.sum(
@@ -183,9 +195,9 @@ def ngram_jaccard_pairs(
     from per-pair intersection counts and per-doc set sizes — no N^2 scan.
     """
     sh = word_shingles(F.col(text_col), k)
-    docs = df.select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("shset")).filter(
-        F.size("shset") > 0
-    )
+    docs = _spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.array_distinct(sh).alias("shset")
+    ).filter(F.size("shset") > 0)
     sizes = docs.select("id", F.size("shset").alias("sz"))
     inv = docs.select("id", F.explode("shset").alias("s"))
     pair_inter = (
