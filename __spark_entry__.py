@@ -40,14 +40,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: documents -> link graph -> Ollivier curvature (ego mode) +
-    PageRank + degree, one joined result table."""
+    """Flagship: synthetic Common-Crawl-style pages -> HTML link extraction
+    (north-rule input path) -> link graph -> Ollivier curvature (ego mode)
+    + PageRank + degree, one joined result table."""
     sf_dir = "/root/testdata/sf0.001"
     from graphriccicurvature_spark.operators.degrees import degree_table
     from graphriccicurvature_spark.operators.ollivier import ricci_curvature_edges
     from graphriccicurvature_spark.operators.pagerank import pagerank
+    from graphriccicurvature_spark.sources.extract import pages_to_edges
+    from graphriccicurvature_spark.sources.pages import generate_pages
 
-    edges = edges_from_documents(spark, sf_dir)
+    n_docs = _docs(spark, sf_dir).count()
+    pages = generate_pages(spark, n_docs)
+    edges, _verts = pages_to_edges(pages)
     und = canonicalize(edges)
     k = ricci_curvature_edges(und, method="OTDSinkhornMix", alpha=0.5, mode="ego")
     pr = pagerank(edges, num_iterations=_PR_ITERS, directed=True)
@@ -256,6 +261,93 @@ def _q_lang_id(spark, sf):
     return language_id(_docs(spark, sf)).select("doc_id", "lang_pred")
 
 
+def _q_fingerprint_md5(spark, sf):
+    from graphriccicurvature_spark.operators.textstats import fingerprint_md5
+
+    return fingerprint_md5(_docs(spark, sf)).select(
+        "doc_id", "text_md5", "min_shingle_md5"
+    )
+
+
+def _q_simhash_md5(spark, sf):
+    from graphriccicurvature_spark.operators.textstats import simhash32_md5
+
+    return simhash32_md5(_docs(spark, sf)).select(
+        F.col("id").alias("doc_id"), "simhash_bits"
+    )
+
+
+def _pages_of(spark, sf):
+    from graphriccicurvature_spark.sources.pages import generate_pages
+
+    n = _docs(spark, sf).count()
+    return generate_pages(spark, n)
+
+
+def _q_pages_edges(spark, sf):
+    """North-rule input path: HTML pages -> link extraction -> url edges.
+
+    The oracle reproduces the deterministic outlink formula in pure SQL, so
+    a hash match proves the pandas-UDF extraction recovered exactly the
+    links that were embedded in the html bytes."""
+    from graphriccicurvature_spark.sources.extract import extract_links
+
+    pages = _pages_of(spark, sf)
+    return (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.explode(extract_links("html")).alias("dst_url"),
+        )
+        .filter(F.col("src_url") != F.col("dst_url"))
+        .dropDuplicates(["src_url", "dst_url"])
+    )
+
+
+def _q_pages_text(spark, sf):
+    """Byte-identical text extraction invariant (BASELINE.json input_hint):
+    the text recovered from html bytes must equal the generator formula,
+    which the oracle re-derives in SQL."""
+    from graphriccicurvature_spark.sources.extract import extract_text
+
+    pages = _pages_of(spark, sf)
+    return pages.select("url", extract_text("html").alias("text_extracted"))
+
+
+def _q_ollivier_atd(spark, sf):
+    """ATD curvature, component (exact-APSP) mode — SQL-expressible on the
+    unit-weight documents graph (BFS distances via bounded recursive CTE),
+    so the optimal-transport-family aggregation gets a value-level oracle."""
+    from graphriccicurvature_spark.operators.ollivier import ricci_curvature_edges
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return ricci_curvature_edges(und, method="ATD", alpha=0.5, mode="component").select(
+        "src", "dst", F.round("ricci_curvature", 6).alias("ricci_curvature")
+    )
+
+
+def _q_ollivier_sinkhorn(spark, sf):
+    """Forced-Sinkhorn ego mode: every edge goes through the batched
+    entropic-OT kernel (functions/sinkhorn.sinkhorn_batch)."""
+    from graphriccicurvature_spark.operators.ollivier import ricci_curvature_edges
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return ricci_curvature_edges(und, method="Sinkhorn", alpha=0.5, mode="ego").select(
+        "src", "dst", F.round("ricci_curvature", 6).alias("ricci_curvature")
+    )
+
+
+def _q_ricci_community(spark, sf):
+    """Full community pipeline (flow 10 rounds -> cutoff sweep -> best
+    clustering) over the deterministic planted-partition documents graph
+    (the plain F2 graph is structureless and has no modularity drop)."""
+    from graphriccicurvature_spark.operators.community import ricci_community
+    from graphriccicurvature_spark.sources.edges import clustered_edges_from_documents
+
+    und = canonicalize(clustered_edges_from_documents(spark, sf))
+    _cut, clustering = ricci_community(und)
+    return clustering.select("node", "component")
+
+
 def _q_fingerprint(spark, sf):
     from graphriccicurvature_spark.operators.textstats import fingerprint
 
@@ -317,6 +409,29 @@ def _q_tpch_pricing(spark, sf):
     )
 
 
+def _q_tpch_supplier_parts(spark, sf):
+    """Supplier/part-side relational coverage: 4-way join (2 broadcast
+    dims), brand-level revenue rollup with a size filter."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(F.col("p_size") <= 25)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def _q_tpch_revenue(spark, sf):
     """Join-heavy relational coverage: top revenue per nation (3-way join +
     broadcast dim, agg, top-k window)."""
@@ -363,6 +478,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "fingerprint_md5": _q_fingerprint_md5,
+        "simhash_md5": _q_simhash_md5,
+        "pages_edges": _q_pages_edges,
+        "pages_text": _q_pages_text,
+        "ollivier_atd": _q_ollivier_atd,
+        "ollivier_sinkhorn_ego": _q_ollivier_sinkhorn,
+        "ricci_community": _q_ricci_community,
+        "tpch_supplier_parts": _q_tpch_supplier_parts,
         "ann_cosine_brute": _q_ann_brute,
         "ann_cosine_lsh": _q_ann_lsh,
         "events_window": _q_events_window,
@@ -377,6 +500,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _E = edges_sql_cte("documents")
+
+_TOKS = """
+toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+    FROM documents
+)"""
+
+
+def _words_sql() -> tuple[str, int]:
+    from graphriccicurvature_spark.sources.pages import _WORDS
+
+    return "[" + ",".join(f"'{w}'" for w in _WORDS) + "]", len(_WORDS)
+
+
+def _langs_values_sql() -> str:
+    from graphriccicurvature_spark.operators.textstats import LANG_STOPWORDS
+
+    rows = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        rows.append(f"('{lang}', {arr})")
+    return ", ".join(rows)
+
+
+_URL = "'https://site' || ({i} % 10) || '.example/p/' || {i}"
 
 _UND = """
 und AS (
@@ -642,6 +792,120 @@ def oracle_sql() -> dict[str, str]:
                      + 0.2 * (1.0 - least(punct_ratio * 10, 1.0))
                      + 0.1 * least(stopword_ratio * 5, 1.0), 6) AS quality
         FROM f
+    """
+    sql["lang_id"] = f"""
+        WITH {_TOKS},
+        langs(lang, words) AS (VALUES {_langs_values_sql()}),
+        hits AS (
+            SELECT doc_id, lang,
+                   len(list_intersect(list_distinct(t), words)) AS h
+            FROM toks CROSS JOIN langs
+        ),
+        best AS (
+            SELECT doc_id, lang, h,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY h DESC, lang DESC
+                   ) AS rn
+            FROM hits
+        )
+        SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred
+        FROM best WHERE rn = 1
+    """
+    sql["fingerprint_md5"] = f"""
+        WITH {_TOKS},
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3
+                        THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+                        ELSE []::VARCHAR[] END AS shset
+            FROM toks
+        )
+        SELECT d.doc_id, md5(d.text) AS text_md5,
+               list_min(list_transform(s.shset, x -> md5(x))) AS min_shingle_md5
+        FROM documents d JOIN sh s USING (doc_id)
+    """
+    _high = "('8','9','a','b','c','d','e','f')"
+    _votes = ", ".join(
+        f"sum(CASE WHEN substring(th, {b + 1}, 1) IN {_high} THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    _bits = ", ".join(f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(32))
+    sql["simhash_md5"] = f"""
+        WITH {_TOKS},
+        tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        h AS (SELECT doc_id, md5(w) AS th FROM tok),
+        votes AS (SELECT doc_id, {_votes} FROM h GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(concat({_bits}), '{'0' * 32}') AS simhash_bits
+        FROM documents d LEFT JOIN votes USING (doc_id)
+    """
+    sql["pages_edges"] = f"""
+        WITH links AS (
+            SELECT i, (i * 31 + j.j * 17 + 7) % (SELECT count(*) FROM documents) AS d
+            FROM (SELECT doc_id AS i FROM documents) t,
+                 LATERAL (SELECT unnest(generate_series(0, i % 5 - 1)) AS j) j
+            WHERE i % 5 > 0
+        )
+        SELECT DISTINCT
+               {_URL.format(i="i")} AS src_url,
+               {_URL.format(i="d")} AS dst_url
+        FROM links WHERE d <> i
+    """
+    _warr, _wn = _words_sql()
+    sql["pages_text"] = f"""
+        SELECT {_URL.format(i="i")} AS url,
+               array_to_string(
+                   [{_warr}[((i * 2654435761 + k * 97) % {_wn}) + 1]
+                    FOR k IN range(0, 8 + (i * 7) % 25)], ' ') AS text_extracted
+        FROM (SELECT doc_id AS i FROM documents) t
+    """
+    # ATD curvature on the unit-weight documents graph: exact BFS distances
+    # via a depth-3 recursive CTE (for neighbors a of u and b of v the true
+    # distance is at most 3 via a-u-v-b, so depth 3 is exact).
+    sql["ollivier_atd"] = f"""
+        WITH RECURSIVE {_E}, {_UND},
+        p(src, dst, d) AS (
+            SELECT src, dst, 1 FROM sym
+            UNION
+            SELECT p.src, s.dst, p.d + 1
+            FROM p JOIN sym s ON s.src = p.dst
+            WHERE p.d < 3
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        dist AS (
+            SELECT src, dst, min(d) AS dd FROM p WHERE src <> dst GROUP BY src, dst
+            UNION ALL
+            SELECT node, node, 0 FROM nodes
+        ),
+        pairs AS (
+            SELECT e.src AS u, e.dst AS v, a.dst AS na, b.dst AS nb
+            FROM und e
+            JOIN sym a ON a.src = e.src
+            JOIN sym b ON b.src = e.dst
+        ),
+        sums AS (
+            SELECT u, v, sum(dd.dd) AS sd
+            FROM pairs p2 JOIN dist dd ON dd.src = p2.na AND dd.dst = p2.nb
+            GROUP BY u, v
+        )
+        SELECT s.u AS src, s.v AS dst,
+               round(1.0 - (0.5 * 1.0
+                     + 0.5 / (du.degree * dv.degree) * s.sd), 6) AS ricci_curvature
+        FROM sums s
+        JOIN deg du ON du.node = s.u
+        JOIN deg dv ON dv.node = s.v
+    """
+    sql["tpch_supplier_parts"] = """
+        SELECT n.n_name, p.p_brand,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               round(sum(l.l_quantity), 4) AS sum_qty,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_size <= 25
+        GROUP BY n.n_name, p.p_brand
     """
     sql["ann_cosine_brute"] = """
         WITH q AS (

@@ -39,6 +39,8 @@ class OllivierRicci:
         verbose: str = "ERROR",
     ):
         if weight != "weight" and weight in edges.columns:
+            if "weight" in edges.columns:  # avoid ambiguous duplicate column
+                edges = edges.drop("weight")
             edges = edges.withColumnRenamed(weight, "weight")
         edges = prepare_edges(edges)
         self.G = edges if directed else canonicalize(edges)
@@ -129,6 +131,8 @@ class FormanRicci:
         verbose: str = "ERROR",
     ):
         if weight != "weight" and weight in edges.columns:
+            if "weight" in edges.columns:  # avoid ambiguous duplicate column
+                edges = edges.drop("weight")
             edges = edges.withColumnRenamed(weight, "weight")
         # directed inputs are folded to undirected (reference :59-62)
         self.G = canonicalize(prepare_edges(edges))

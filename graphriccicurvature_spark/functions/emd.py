@@ -131,6 +131,11 @@ def emd_exact(a: np.ndarray, b: np.ndarray, M: np.ndarray) -> float:
         dem[jstar] -= amt
         moved += amt
 
+    if total - moved > 1e-9 * max(1.0, total):
+        # Residual disconnected (e.g. inf costs): the transport problem is
+        # infeasible. Surface it instead of returning a plausible-looking
+        # partial-flow cost — mirrors ot.emd2's infeasibility warning.
+        return float("inf")
     return float((f * M).sum())
 
 

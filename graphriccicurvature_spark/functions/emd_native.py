@@ -120,6 +120,9 @@ static double emd_one(int m, int n,
         dem[jstar] -= amt;
         moved += amt;
     }
+    /* infeasible (disconnected residual, e.g. inf costs): surface it
+       instead of returning a partial-flow cost (mirror of emd.py) */
+    if (total - moved > 1e-9 * (total > 1.0 ? total : 1.0)) return INF;
     {
         double cost = 0.0;
         for (i = 0; i < m; i++)

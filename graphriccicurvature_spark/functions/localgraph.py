@@ -14,7 +14,7 @@ import math
 import numpy as np
 
 from .emd import emd_exact
-from .sinkhorn import sinkhorn_cost
+from .sinkhorn import sinkhorn_cost_batch
 
 try:  # C fast path (compiled at import; exact same algorithm — see emd_native)
     from . import emd_native as _native
@@ -161,6 +161,10 @@ def component_curvature(
     emd_x: list[np.ndarray] = []
     emd_y: list[np.ndarray] = []
     emd_d: list[np.ndarray] = []
+    sk_idx: list[int] = []
+    sk_x: list[np.ndarray] = []
+    sk_y: list[np.ndarray] = []
+    sk_d: list[np.ndarray] = []
     for e in range(len(eval_src)):
         s = lut[int(eval_src[e])]
         t = lut[int(eval_dst[e])]
@@ -184,17 +188,28 @@ def component_curvature(
                 method == "OTDSinkhornMix"
                 and len(x) > OTD_SINKHORN_THRESHOLD
                 and len(y) > OTD_SINKHORN_THRESHOLD
-            ):
-                m = sinkhorn_cost(x, y, d, reg=sinkhorn_reg)
-                kappas[e] = 1.0 - m / w_st
+            ):  # deferred: batched Sinkhorn per record batch (north star)
+                sk_idx.append(e)
+                sk_x.append(x)
+                sk_y.append(y)
+                sk_d.append(d)
             else:  # deferred: all exact-OT solves go out in one batched call
                 emd_idx.append(e)
                 emd_x.append(x)
                 emd_y.append(y)
                 emd_d.append(d)
+
+    def w_of(idx: np.ndarray) -> np.ndarray:
+        return np.array(
+            [W[lut[int(eval_src[e])], lut[int(eval_dst[e])]] for e in idx]
+        )
+
     if emd_idx:
         ms = solve_emd_batch(emd_x, emd_y, emd_d)
         idx = np.asarray(emd_idx, dtype=np.int64)
-        w_eval = np.array([W[lut[int(eval_src[e])], lut[int(eval_dst[e])]] for e in idx])
-        kappas[idx] = 1.0 - ms / w_eval
+        kappas[idx] = 1.0 - ms / w_of(idx)
+    if sk_idx:
+        ms = sinkhorn_cost_batch(sk_x, sk_y, sk_d, reg=sinkhorn_reg)
+        idx = np.asarray(sk_idx, dtype=np.int64)
+        kappas[idx] = 1.0 - ms / w_of(idx)
     return kappas

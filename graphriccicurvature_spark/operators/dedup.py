@@ -52,8 +52,9 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def _minhash_signature(shingle_hashes, num_perm: int, seed: int = 42):
     """num_perm universal-hash minima over a shingle-hash array (column expr).
 
-    Permutation p: h_p(x) = (a_p * x + b_p) mod 2^61-1 with fixed (a_p, b_p)
-    derived deterministically from the seed.
+    Permutation p: h_p(x) = (a_p * x + b_p) mod 2^31-1 with fixed (a_p, b_p)
+    derived deterministically from the seed. 31-bit constants keep the
+    product under 2^63 (ANSI-mode long arithmetic never overflows).
     """
     def perm_fn(a, b):
         def apply(x):
@@ -76,8 +77,18 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     num_perm: int = 32,
     bands: int = 8,
+    bucket_cap: int = 64,
 ) -> DataFrame:
-    """Candidate near-dup pairs (a < b) via MinHash-LSH band bucketing."""
+    """Candidate near-dup pairs (a < b) via MinHash-LSH band bucketing.
+
+    ``bucket_cap`` bounds the quadratic blowup of mega-buckets (boilerplate
+    duplicates at web scale): a bucket with more than ``bucket_cap`` members
+    emits *star* pairs only — every member against the bucket-min id —
+    which is O(B) instead of O(B^2) and preserves the connected-components
+    clustering downstream (the star keeps the bucket connected). Buckets at
+    or under the cap emit all pairs exactly as before, so small-scale
+    results are unchanged.
+    """
     rows_per_band = num_perm // bands
     sh = word_shingles(F.col(text_col), shingle_k)
     # single-file inputs arrive as one partition; spread the per-doc
@@ -99,14 +110,24 @@ def minhash_lsh_candidates(
     buckets = docs.select("id", F.explode(band_structs).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    left = buckets.select("band", "bucket", F.col("id").alias("a"))
-    right = buckets.select("band", "bucket", F.col("id").alias("b"))
-    return (
+    stats = buckets.groupBy("band", "bucket").agg(
+        F.count("*").alias("_bn"), F.min("id").alias("_bmin")
+    )
+    b2 = buckets.join(stats, ["band", "bucket"])
+    small = b2.filter(F.col("_bn") <= bucket_cap)
+    left = small.select("band", "bucket", F.col("id").alias("a"))
+    right = small.select("band", "bucket", F.col("id").alias("b"))
+    all_pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    # mega-bucket star pairs: representative chaining through the min id
+    star_pairs = (
+        b2.filter((F.col("_bn") > bucket_cap) & (F.col("id") != F.col("_bmin")))
+        .select(F.col("_bmin").alias("a"), F.col("id").alias("b"))
+    )
+    return all_pairs.union(star_pairs).distinct()
 
 
 def minhash_dedup(
@@ -117,12 +138,15 @@ def minhash_dedup(
     num_perm: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.8,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """Near-dup clustering: LSH candidates -> exact-Jaccard verify ->
     connected components over the dup graph -> min-id survivor.
 
     Returns (id, cluster, is_survivor)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, shingle_k, num_perm, bands)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, shingle_k, num_perm, bands, bucket_cap
+    )
     sh = word_shingles(F.col(text_col), shingle_k)
     # exact-Jaccard verify over hashed shingles (64-bit) — identical result
     # modulo hash collisions, far cheaper than string-array set ops
@@ -188,29 +212,45 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int = 10000,
 ) -> DataFrame:
     """All pairs (a < b) with word-k-gram Jaccard >= threshold.
 
-    Candidates via shared-shingle equi-join (inverted index), exact Jaccard
-    from per-pair intersection counts and per-doc set sizes — no N^2 scan.
+    Candidates via shared-shingle equi-join (inverted index); a shingle
+    shared by D documents yields D^2/2 candidate rows, so shingles with
+    document frequency above ``max_shingle_df`` are dropped from the
+    *candidate* index (the standard DF cut — a boilerplate shingle at web
+    scale is a cartesian bomb). The Jaccard itself is then verified exactly
+    on the full (hashed) shingle sets of each surviving pair, so reported
+    values are exact regardless of the cut; only pairs whose every shared
+    shingle is ultra-common can be missed.
     """
     sh = word_shingles(F.col(text_col), k)
     docs = _spread(df, id_col).select(
-        F.col(id_col).alias("id"), F.array_distinct(sh).alias("shset")
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("shset"),
     ).filter(F.size("shset") > 0)
-    sizes = docs.select("id", F.size("shset").alias("sz"))
     inv = docs.select("id", F.explode("shset").alias("s"))
-    pair_inter = (
-        inv.alias("x")
-        .join(inv.alias("y"), "s")
+    rare = inv.join(
+        inv.groupBy("s").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_shingle_df),
+        "s",
+        "left_semi",
+    )
+    cands = (
+        rare.alias("x")
+        .join(rare.alias("y"), "s")
         .filter(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
     )
     return (
-        pair_inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        cands.join(docs.select(F.col("id").alias("a"), F.col("shset").alias("sa")), "a")
+        .join(docs.select(F.col("id").alias("b"), F.col("shset").alias("sb")), "b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("sa") + F.size("sb") - F.col("inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

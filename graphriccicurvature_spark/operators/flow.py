@@ -28,6 +28,18 @@ from .components import connected_components
 from .ollivier import ricci_curvature_edges
 
 
+def _drain_caches(registry: list) -> None:
+    """Unpersist per-round operator caches (ego-mode adjacency views) once
+    the round's result is materialized, so executor storage does not grow
+    across flow rounds."""
+    for df in registry:
+        try:
+            df.unpersist()
+        except Exception:  # pragma: no cover - defensive
+            pass
+    registry.clear()
+
+
 def _largest_component_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Restrict to the largest connected component (reference :554-556).
 
@@ -91,19 +103,23 @@ def ricci_flow(
             i, state, _metrics = got
             start_round = i + 1
 
+    caches: list = []
     if state is None:
         edges = canonicalize(prepare_edges(edges))
         edges, comps = _largest_component_edges(edges)
         if "original_rc" in edges.columns:
             state = edges  # continue-to-refine (reference :566-567)
         else:
-            k = ricci_curvature_edges(edges, components=comps, **curv_kwargs)
+            k = ricci_curvature_edges(
+                edges, components=comps, cache_registry=caches, **curv_kwargs
+            )
             state = (
                 edges.select("src", "dst", "weight")
                 .join(k, ["src", "dst"])
                 .withColumn("original_rc", F.col("ricci_curvature"))
                 .transform(truncate_plan)
             )
+            _drain_caches(caches)
     if comps is None and mode == "component":
         comps = connected_components(state.select("src", "dst", "weight")).cache()
 
@@ -124,7 +140,8 @@ def ricci_flow(
         )
         # 3. recompute curvature on the new metric (reference :591)
         k = ricci_curvature_edges(
-            updated.select("src", "dst", "weight"), components=comps, **curv_kwargs
+            updated.select("src", "dst", "weight"), components=comps,
+            cache_registry=caches, **curv_kwargs
         )
         state = (
             updated.select("src", "dst", "weight", "original_rc")
@@ -132,6 +149,7 @@ def ricci_flow(
             .select("src", "dst", "weight", "ricci_curvature", "original_rc")
             .transform(truncate_plan)
         )
+        _drain_caches(caches)
         # 4. convergence (reference :593-600)
         stats = state.agg(
             F.max("ricci_curvature").alias("kmax"),

@@ -8,21 +8,28 @@ physical strategies, same math (functions/localgraph.py kernels):
   all-pairs distances. Reproduces the reference's APSP-based numbers
   (OllivierRicci.py:157-158) bit-for-bit; parity/fixture path. Distributed
   across components; bounded by the largest component's size.
-- ``mode="ego"`` — web-scale: per-edge 2-hop ego-net gather via self-joins
-  on the edge table (salting left to AQE skew handling), distances computed
-  inside the induced member subgraph. For any pair (u in N(s), v in N(t))
-  the path u-s-t-v lies inside the gathered block, so distances are always
-  finite; they can only over-estimate global distances when a shortcut
-  routes outside the 1-hop union — the documented scale-mode approximation
-  (SURVEY.md §4.3, §7).
+- ``mode="ego"`` — web-scale: 2-hop ego-net gather via self-joins on the
+  edge table, *CSR-blocked by source vertex*: all eval edges of one src are
+  gathered into one block so each member's adjacency row ships once per
+  block instead of once per incident edge. Distances are computed inside
+  the per-edge induced member subgraph. Every source/target-neighbor arc is
+  injected explicitly from the already-gathered support weights and
+  (undirected) the local matrix is symmetrized, so support-to-support
+  distances are always finite even when hub adjacency is truncated at
+  ``nbr_topk``; they can only over-estimate global distances when a
+  shortcut routes outside the 1-hop union — the documented scale-mode
+  approximation (SURVEY.md §4.3, §7).
 
 Both strategies dispatch OTD (exact EMD) / Sinkhorn by support size exactly
-like the reference's OTDSinkhornMix (OllivierRicci.py:334-341).
+like the reference's OTDSinkhornMix (OllivierRicci.py:334-341); exact-OT
+and Sinkhorn solves are both deferred and solved batched per Arrow record
+batch (one native EMD call / one vectorized Sinkhorn fixed point).
 """
 
 from __future__ import annotations
 
 import math
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -43,7 +50,7 @@ from ..functions.localgraph import (
     node_distribution,
     solve_emd_batch,
 )
-from ..functions.sinkhorn import sinkhorn_cost
+from ..functions.sinkhorn import sinkhorn_cost_batch
 from ..sources.edges import canonicalize, prepare_edges, symmetrize
 from .components import connected_components
 from .degrees import degree_table
@@ -55,6 +62,11 @@ _RESULT_SCHEMA = StructType(
         StructField("ricci_curvature", DoubleType()),
     ]
 )
+
+# eval edges of one src are gathered in chunks of at most this many edges:
+# bounds the Arrow row size for hub sources while still amortizing the
+# member-adjacency shipping across the chunk.
+BLOCK_MAX_EDGES = 32
 
 
 def ricci_curvature_edges(
@@ -71,20 +83,32 @@ def ricci_curvature_edges(
     sinkhorn_reg: float = 1e-1,
     components: DataFrame | None = None,
     salt: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Returns ``(src, dst, ricci_curvature)`` for the requested edges.
 
     ``edge_list`` (optional ``src``/``dst`` DataFrame) restricts evaluation
     like reference OllivierRicci.py:451-454 while the whole graph still
-    defines distributions and distances. ``components`` (node, component)
-    may be supplied to skip the CC pass when the caller already has it
-    (e.g. the Ricci-flow loop, whose topology is round-invariant).
-    ``salt`` (ego mode) replicates hub adjacency rows across that many salt
-    buckets for the member-gather join — explicit skew handling for
-    power-law web graphs on top of AQE's runtime skew-join splitting.
+    defines distributions and distances; for undirected graphs it is
+    canonicalized first, so either endpoint orientation matches (the
+    reference accepts NetworkX edges in any orientation). ``components``
+    (node, component) may be supplied to skip the CC pass when the caller
+    already has it (e.g. the Ricci-flow loop, whose topology is
+    round-invariant). ``salt`` (ego mode) replicates adjacency rows across
+    that many salt buckets for the member-gather join — explicit skew
+    handling for power-law web graphs on top of AQE's runtime skew-join
+    splitting. ``cache_registry`` (ego mode): a caller-provided list the
+    operator appends its cached intermediate DataFrames to; iterative
+    callers (the flow loop) unpersist them after materializing each round
+    so executor storage doesn't accumulate across rounds.
     """
     assert mode in ("component", "ego")
     edges = prepare_edges(edges)
+    if edge_list is not None and not directed:
+        # canonical (src < dst) storage: accept either endpoint orientation
+        edge_list = edge_list.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
     if mode == "component":
         return _component_mode(
             edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg,
@@ -92,7 +116,7 @@ def ricci_curvature_edges(
         )
     return _ego_mode(
         edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg,
-        salt,
+        salt, cache_registry,
     )
 
 
@@ -149,7 +173,7 @@ def _component_mode(
 
 
 # --------------------------------------------------------------------------
-# ego (scale) mode
+# ego (scale) mode — CSR-blocked per-src gather
 # --------------------------------------------------------------------------
 
 
@@ -184,11 +208,18 @@ def _adjacency(
     )
 
 
+def _empty_l():
+    return F.array().cast("array<bigint>")
+
+
+def _empty_d():
+    return F.array().cast("array<double>")
+
+
 def _ego_mode(
     edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg,
-    salt=None,
+    salt=None, cache_registry=None,
 ):
-    spark = edges.sparkSession
     if directed:
         out_view = edges.select("src", "dst", "weight")
     else:
@@ -205,39 +236,78 @@ def _ego_mode(
         if directed
         else None
     )
+    if cache_registry is not None:
+        cache_registry.append(out_view)
+        cache_registry.append(adj_out)
+        if adj_in is not None:
+            cache_registry.append(adj_in)
 
     ev = edges.select("src", "dst", "weight")
     if edge_list is not None:
         ev = ev.join(edge_list.select("src", "dst"), ["src", "dst"], "left_semi")
-    ev = ev.withColumn("edge_id", F.monotonically_increasing_id())
+    # chunk hub sources: at most BLOCK_MAX_EDGES eval edges per gathered
+    # block, so one mega-hub cannot produce an unbounded Arrow row
+    cnt = ev.groupBy("src").agg(F.count("*").alias("_nev"))
+    ev = ev.join(cnt, "src").withColumn(
+        "_blk",
+        F.pmod(
+            F.xxhash64("dst"),
+            F.greatest(F.ceil(F.col("_nev") / F.lit(BLOCK_MAX_EDGES)), F.lit(1)),
+        ).cast("int"),
+    ).drop("_nev")
 
-    # gather source-side and target-side adjacency rows onto each edge
+    # target-side adjacency at edge granularity, then fold per (src, _blk):
+    # each target row carries its own support arrays
+    evt = ev.join(
+        adj_out.select(
+            F.col("node").alias("dst"),
+            F.col("out_nbrs").alias("t_nbrs"),
+            F.col("out_ws").alias("t_ws"),
+        ),
+        "dst",
+        "left",
+    )
+    blocks = evt.groupBy("src", "_blk").agg(
+        F.collect_list(
+            F.struct(
+                F.col("dst").alias("dst"),
+                F.col("weight").alias("weight"),
+                F.coalesce("t_nbrs", _empty_l()).alias("t_nbrs"),
+                F.coalesce("t_ws", _empty_d()).alias("t_ws"),
+            )
+        ).alias("targets")
+    )
+    # source-side support ships once per block (was: once per edge)
     src_adj = adj_in if directed else adj_out
-    e1 = (
-        ev.join(src_adj.withColumnRenamed("node", "src"), "src", "left")
-        .withColumnRenamed("in_nbrs" if directed else "out_nbrs", "s_nbrs")
-        .withColumnRenamed("in_ws" if directed else "out_ws", "s_ws")
+    pre = "in" if directed else "out"
+    e1 = blocks.join(
+        src_adj.select(
+            F.col("node").alias("src"),
+            F.col(f"{pre}_nbrs").alias("s_nbrs"),
+            F.col(f"{pre}_ws").alias("s_ws"),
+        ),
+        "src",
+        "left",
+    ).select(
+        "src", "_blk", "targets",
+        F.coalesce("s_nbrs", _empty_l()).alias("s_nbrs"),
+        F.coalesce("s_ws", _empty_d()).alias("s_ws"),
     )
-    e2 = (
-        e1.join(
-            adj_out.select(
-                F.col("node").alias("dst"),
-                F.col("out_nbrs").alias("t_nbrs"),
-                F.col("out_ws").alias("t_ws"),
-            ),
-            "dst",
-            "left",
-        )
-    )
-    # members of the ego block: s, t, and both neighbor sets
-    members = e2.select(
-        "edge_id",
+    # members of the block: src, its support, every target and its support
+    members = e1.select(
+        "src",
+        "_blk",
         F.explode(
             F.array_distinct(
                 F.concat(
-                    F.coalesce("s_nbrs", F.array()),
-                    F.coalesce("t_nbrs", F.array()),
-                    F.array("src", "dst"),
+                    F.array("src"),
+                    F.col("s_nbrs"),
+                    F.flatten(
+                        F.transform(
+                            "targets",
+                            lambda t: F.concat(F.array(t["dst"]), t["t_nbrs"]),
+                        )
+                    ),
                 )
             )
         ).alias("member"),
@@ -249,24 +319,23 @@ def _ego_mode(
     )
     if salt and salt > 1:
         # explicit hub-skew salting: replicate each adjacency row across
-        # `salt` buckets; each (edge, member) demand lands in one bucket
+        # `salt` buckets; each (block, member) demand lands in one bucket
         adj_member = adj_member.withColumn(
             "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
         )
         members = members.withColumn(
-            "_salt", F.pmod(F.xxhash64("edge_id"), F.lit(salt)).cast("int")
+            "_salt", F.pmod(F.xxhash64("src", "_blk"), F.lit(salt)).cast("int")
         )
         mem_adj = members.join(adj_member, ["member", "_salt"], "left").drop("_salt")
     else:
         mem_adj = members.join(adj_member, "member", "left")
-    gathered = mem_adj.groupBy("edge_id").agg(
+    gathered = mem_adj.groupBy("src", "_blk").agg(
         F.collect_list("member").alias("members"),
-        F.collect_list(F.coalesce("m_nbrs", F.array())).alias("members_nbrs"),
-        F.collect_list(F.coalesce("m_ws", F.array())).alias("members_ws"),
+        F.collect_list(F.coalesce("m_nbrs", _empty_l())).alias("members_nbrs"),
+        F.collect_list(F.coalesce("m_ws", _empty_d())).alias("members_ws"),
     )
-    full = e2.join(gathered, "edge_id").select(
-        "src", "dst", "weight", "s_nbrs", "s_ws", "t_nbrs", "t_ws",
-        "members", "members_nbrs", "members_ws",
+    full = e1.join(gathered, ["src", "_blk"]).select(
+        "src", "targets", "s_nbrs", "s_ws", "members", "members_nbrs", "members_ws",
     )
 
     params = dict(
@@ -298,6 +367,32 @@ def _flat_list(col):
     return off, col.values
 
 
+def _gather_rows(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat indices selecting variable-length rows [starts, starts+lens)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    return np.repeat(starts, lens) + (np.arange(total) - np.repeat(ends - lens, lens))
+
+
+def _clamp_nonfinite(d: np.ndarray, fallback: float) -> np.ndarray:
+    """Replace non-finite distances before OT (warn; should not occur —
+    support arcs are injected explicitly, so support-to-support paths exist
+    through s-t by construction). Keeps one poisoned entry from turning a
+    whole edge (and downstream flow/community rounds) into NaN."""
+    bad = ~np.isfinite(d)
+    if bad.any():
+        warnings.warn(
+            "non-finite local distance in ego block; clamping to max finite",
+            RuntimeWarning,
+        )
+        finite = d[~bad]
+        d = d.copy()
+        d[bad] = finite.max() if finite.size else fallback
+    return d
+
+
 def _solve_ego_arrow(
     rb,
     *,
@@ -309,18 +404,39 @@ def _solve_ego_arrow(
     nbr_topk: int,
     sinkhorn_reg: float,
 ):
-    """Per-Arrow-batch ego solve on flat list buffers (zero python objects).
+    """Per-Arrow-batch CSR-blocked ego solve on flat list buffers.
 
-    Per edge, the local dense weight matrix is built with vectorized
-    searchsorted scatter, distances via native Floyd-Warshall, and all exact
-    OT problems of the batch go out in ONE native EMD call.
+    One input row = one (src, chunk) block holding all that chunk's eval
+    edges plus the union of their members' adjacency (shipped once per
+    block). Per edge, the local dense weight matrix is sliced out of the
+    block CSR with vectorized searchsorted scatter, source/target support
+    arcs are injected from the gathered support weights, (undirected) the
+    matrix is symmetrized, distances via native Floyd-Warshall, and all
+    exact-OT / Sinkhorn problems of the batch go out in ONE batched call
+    each.
     """
     import pyarrow as pa
 
     n_rows = rb.num_rows
     src = rb.column(rb.schema.get_field_index("src")).to_numpy()
-    dst = rb.column(rb.schema.get_field_index("dst")).to_numpy()
-    wts = rb.column(rb.schema.get_field_index("weight")).to_numpy()
+
+    # targets: list<struct<dst, weight, t_nbrs, t_ws>>
+    tcol = rb.column(rb.schema.get_field_index("targets"))
+    if isinstance(tcol, pa.ChunkedArray):
+        tcol = tcol.combine_chunks()
+    t_off = tcol.offsets.to_numpy()
+    t_struct = tcol.values
+    t_dst = t_struct.field("dst").to_numpy()
+    t_w = t_struct.field("weight").to_numpy()
+    tn_off, tn_vals_arr = _flat_list(t_struct.field("t_nbrs"))
+    tn_vals = tn_vals_arr.to_numpy()
+    tw_off, tw_vals_arr = _flat_list(t_struct.field("t_ws"))
+    tw_vals = tw_vals_arr.to_numpy()
+
+    s_off, s_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("s_nbrs")))
+    s_vals = s_vals_arr.to_numpy()
+    sw_off, sw_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("s_ws")))
+    sw_vals = sw_vals_arr.to_numpy()
 
     mem_off, mem_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("members")))
     mem_vals = mem_vals_arr.to_numpy()
@@ -333,176 +449,115 @@ def _solve_ego_arrow(
     ws_inner_off, ws_vals_arr = _flat_list(ws_inner)
     ws_vals = ws_vals_arr.to_numpy()
 
-    s_off, s_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("s_nbrs")))
-    s_vals = s_vals_arr.to_numpy()
-    sw_off, sw_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("s_ws")))
-    sw_vals = sw_vals_arr.to_numpy()
-    t_off, t_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("t_nbrs")))
-    t_vals = t_vals_arr.to_numpy()
-    tw_off, tw_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("t_ws")))
-    tw_vals = tw_vals_arr.to_numpy()
-
-    out = np.zeros(n_rows, dtype=np.float64)
+    n_edges = len(t_dst)
+    out_src = np.empty(n_edges, dtype=np.int64)
+    out_dst = t_dst.astype(np.int64, copy=True)
+    out_w = t_w.astype(np.float64, copy=True)
+    out = np.zeros(n_edges, dtype=np.float64)
     emd_idx: list[int] = []
     emd_x: list[np.ndarray] = []
     emd_y: list[np.ndarray] = []
     emd_d: list[np.ndarray] = []
+    sk_idx: list[int] = []
+    sk_x: list[np.ndarray] = []
+    sk_y: list[np.ndarray] = []
+    sk_d: list[np.ndarray] = []
 
     for r in range(n_rows):
-        w_st = float(wts[r])
-        if w_st < EPSILON:  # reference :316-320
-            out[r] = 0.0
-            continue
-        members = mem_vals[mem_off[r] : mem_off[r + 1]]
-        n = len(members)
-        order = np.argsort(members, kind="stable")
-        sm = members[order]
-        # flat adjacency block of this edge's members
+        bmembers = mem_vals[mem_off[r] : mem_off[r + 1]]
+        order = np.argsort(bmembers, kind="stable")
+        sm = bmembers[order]
+        # block CSR row bounds (absolute into nb_vals / ws_vals), in the
+        # *original* collect_list order — order[] maps sorted pos -> row
         m0, m1 = nb_outer_off[r], nb_outer_off[r + 1]
-        blk0, blk1 = nb_inner_off[m0], nb_inner_off[m1]
-        nbr_block = nb_vals[blk0:blk1]
-        w_block = ws_vals[ws_inner_off[ws_outer_off[r]] : ws_inner_off[ws_outer_off[r] + (m1 - m0)]]
-        row_lens = np.diff(nb_inner_off[m0 : m1 + 1])
-        local_rows = np.repeat(np.arange(n), row_lens)
-        pos = np.searchsorted(sm, nbr_block)
-        pos_c = np.minimum(pos, n - 1)
-        valid = sm[pos_c] == nbr_block
-        W = np.full((n, n), np.inf)
-        np.minimum.at(W, (local_rows[valid], order[pos_c[valid]]), w_block[valid])
-        D = apsp(W)
+        row_start = nb_inner_off[m0 : m1 + 1]
+        wrow_start = ws_inner_off[ws_outer_off[r] : ws_outer_off[r] + (m1 - m0) + 1]
 
-        def loc(ids):
-            p = np.searchsorted(sm, ids)
-            return order[np.minimum(p, n - 1)]
+        s_nb = s_vals[s_off[r] : s_off[r + 1]]
+        s_w = sw_vals[sw_off[r] : sw_off[r + 1]]
+        s_id = src[r]
 
-        si = int(loc(np.array([src[r]]))[0])
-        ti = int(loc(np.array([dst[r]]))[0])
-        s_idx = loc(s_vals[s_off[r] : s_off[r + 1]])
-        t_idx = loc(t_vals[t_off[r] : t_off[r + 1]])
-        s_ws = sw_vals[sw_off[r] : sw_off[r + 1]]
-        t_ws = tw_vals[tw_off[r] : tw_off[r + 1]]
-
-        if method == "ATD":  # reference :257-294
-            share = (1.0 - alpha) / (len(s_idx) * len(t_idx))
-            m = alpha * D[si, ti] + share * D[np.ix_(s_idx, t_idx)].sum()
-            out[r] = 1.0 - m / w_st  # reference :344
-        else:
-            x, xs = node_distribution(si, s_idx, s_ws, alpha, base, exp_power, nbr_topk)
-            y, ys = node_distribution(ti, t_idx, t_ws, alpha, base, exp_power, nbr_topk)
-            d = D[np.ix_(xs, ys)]
-            if method == "Sinkhorn" or (
-                method == "OTDSinkhornMix"
-                and len(x) > OTD_SINKHORN_THRESHOLD
-                and len(y) > OTD_SINKHORN_THRESHOLD
-            ):
-                out[r] = 1.0 - sinkhorn_cost(x, y, d, reg=sinkhorn_reg) / w_st
-            else:  # deferred — batched exact OT per Arrow batch (north star)
-                emd_idx.append(r)
-                emd_x.append(x)
-                emd_y.append(y)
-                emd_d.append(d)
-    if emd_idx:
-        ms = solve_emd_batch(emd_x, emd_y, emd_d)
-        idx = np.asarray(emd_idx, dtype=np.int64)
-        out[idx] = 1.0 - ms / wts[idx].astype(np.float64)
-    return pa.RecordBatch.from_arrays(
-        [
-            pa.array(src.astype(np.int64)),
-            pa.array(dst.astype(np.int64)),
-            pa.array(out),
-        ],
-        names=["src", "dst", "ricci_curvature"],
-    )
-
-
-def _solve_ego_batch(
-    pdf: pd.DataFrame,
-    *,
-    directed: bool,
-    alpha: float,
-    method: str,
-    base: float,
-    exp_power: float,
-    nbr_topk: int,
-    sinkhorn_reg: float,
-) -> pd.DataFrame:
-    n_rows = len(pdf)
-    out = np.empty(n_rows, dtype=np.float64)
-    # column-wise extraction: no per-row pandas indexing in the hot loop
-    c_src = pdf["src"].values
-    c_dst = pdf["dst"].values
-    c_w = pdf["weight"].values
-    c_members = pdf["members"].values
-    c_mnbrs = pdf["members_nbrs"].values
-    c_mws = pdf["members_ws"].values
-    c_snbrs = pdf["s_nbrs"].values
-    c_sws = pdf["s_ws"].values
-    c_tnbrs = pdf["t_nbrs"].values
-    c_tws = pdf["t_ws"].values
-    emd_idx: list[int] = []
-    emd_x: list[np.ndarray] = []
-    emd_y: list[np.ndarray] = []
-    emd_d: list[np.ndarray] = []
-    for r in range(n_rows):
-        w_st = float(c_w[r])
-        if w_st < EPSILON:
-            out[r] = 0.0
-            continue
-        s, t = int(c_src[r]), int(c_dst[r])
-        members = np.asarray(c_members[r], dtype=np.int64)
-        lut = {int(v): i for i, v in enumerate(members)}
-        n = len(members)
-        W = np.full((n, n), np.inf)
-        for mi, (nbrs, ws) in enumerate(zip(c_mnbrs[r], c_mws[r])):
-            if nbrs is None:
+        for k in range(int(t_off[r]), int(t_off[r + 1])):
+            out_src[k] = s_id
+            w_st = float(t_w[k])
+            if w_st < EPSILON:  # reference :316-320
+                out[k] = 0.0
                 continue
-            nb_idx = np.fromiter(
-                (lut.get(int(nb), -1) for nb in nbrs), dtype=np.int64, count=len(nbrs)
-            )
-            keep = nb_idx >= 0
-            W[mi, nb_idx[keep]] = np.minimum(
-                W[mi, nb_idx[keep]], np.asarray(ws, dtype=np.float64)[keep]
-            )
-        D = apsp(W)
-        si, ti = lut[s], lut[t]
+            t_id = t_dst[k]
+            t_nb = tn_vals[tn_off[k] : tn_off[k + 1]]
+            t_wk = tw_vals[tw_off[k] : tw_off[k + 1]]
 
-        s_nbrs = np.asarray(c_snbrs[r] if c_snbrs[r] is not None else [], dtype=np.int64)
-        s_ws = np.asarray(c_sws[r] if c_sws[r] is not None else [], dtype=np.float64)
-        t_nbrs = np.asarray(c_tnbrs[r] if c_tnbrs[r] is not None else [], dtype=np.int64)
-        t_ws = np.asarray(c_tws[r] if c_tws[r] is not None else [], dtype=np.float64)
-        s_idx = np.fromiter((lut[int(v)] for v in s_nbrs), dtype=np.int64, count=len(s_nbrs))
-        t_idx = np.fromiter((lut[int(v)] for v in t_nbrs), dtype=np.int64, count=len(t_nbrs))
+            # per-edge member set: {s, t} + both supports (sorted unique)
+            em = np.unique(np.concatenate((np.array([s_id, t_id]), s_nb, t_nb)))
+            n = len(em)
+            # block rows of each em member (em ⊆ block members by construction)
+            bi = order[np.searchsorted(sm, em)]
+            starts = row_start[bi]
+            lens = row_start[bi + 1] - starts
+            flat = _gather_rows(starts, lens)
+            nbr_block = nb_vals[flat]
+            wstarts = wrow_start[bi]
+            w_block = ws_vals[_gather_rows(wstarts, lens)]
+            local_rows = np.repeat(np.arange(n), lens)
+            pos = np.searchsorted(em, nbr_block)
+            pos_c = np.minimum(pos, n - 1)
+            valid = em[pos_c] == nbr_block
+            W = np.full((n, n), np.inf)
+            np.minimum.at(W, (local_rows[valid], pos_c[valid]), w_block[valid])
 
-        if method == "ATD":  # reference :257-294
-            share = (1.0 - alpha) / (len(s_idx) * len(t_idx))
-            m = alpha * D[si, ti] + share * D[np.ix_(s_idx, t_idx)].sum()
-            out[r] = 1.0 - m / w_st  # reference :344
-        else:
-            x, xs = node_distribution(si, s_idx, s_ws, alpha, base, exp_power, nbr_topk)
-            y, ys = node_distribution(ti, t_idx, t_ws, alpha, base, exp_power, nbr_topk)
-            d = D[np.ix_(xs, ys)]
-            if method == "Sinkhorn" or (
-                method == "OTDSinkhornMix"
-                and len(x) > OTD_SINKHORN_THRESHOLD
-                and len(y) > OTD_SINKHORN_THRESHOLD
-            ):
-                m = sinkhorn_cost(x, y, d, reg=sinkhorn_reg)
-                out[r] = 1.0 - m / w_st
-            else:  # deferred — batched exact OT per Arrow batch (north star)
-                emd_idx.append(r)
-                emd_x.append(x)
-                emd_y.append(y)
-                emd_d.append(d)
+            si = int(np.searchsorted(em, s_id))
+            ti = int(np.searchsorted(em, t_id))
+            s_idx = np.searchsorted(em, s_nb)
+            t_idx = np.searchsorted(em, t_nb)
+            # inject support arcs from the gathered weights: a hub member's
+            # truncated adjacency can miss its arc back into the block, but
+            # the s/t-side weight is already known exactly
+            if directed:
+                # s_nb are predecessors (u -> s), t_nb successors (t -> v)
+                np.minimum.at(W, (s_idx, np.full(len(s_idx), si)), s_w)
+                np.minimum.at(W, (np.full(len(t_idx), ti), t_idx), t_wk)
+                W[si, ti] = min(W[si, ti], w_st)
+            else:
+                np.minimum.at(W, (np.full(len(s_idx), si), s_idx), s_w)
+                np.minimum.at(W, (np.full(len(t_idx), ti), t_idx), t_wk)
+                W[si, ti] = min(W[si, ti], w_st)
+                W = np.minimum(W, W.T)
+            D = apsp(W)
+
+            if method == "ATD":  # reference :257-294
+                share = (1.0 - alpha) / (len(s_idx) * len(t_idx))
+                dsub = _clamp_nonfinite(D[np.ix_(s_idx, t_idx)], w_st)
+                m = alpha * D[si, ti] + share * dsub.sum()
+                out[k] = 1.0 - m / w_st  # reference :344
+            else:
+                x, xs = node_distribution(si, s_idx, s_w, alpha, base, exp_power, nbr_topk)
+                y, ys = node_distribution(ti, t_idx, t_wk, alpha, base, exp_power, nbr_topk)
+                d = _clamp_nonfinite(D[np.ix_(xs, ys)], w_st)
+                if method == "Sinkhorn" or (
+                    method == "OTDSinkhornMix"
+                    and len(x) > OTD_SINKHORN_THRESHOLD
+                    and len(y) > OTD_SINKHORN_THRESHOLD
+                ):  # deferred — batched Sinkhorn per Arrow batch (north star)
+                    sk_idx.append(k)
+                    sk_x.append(x)
+                    sk_y.append(y)
+                    sk_d.append(d)
+                else:  # deferred — batched exact OT per Arrow batch
+                    emd_idx.append(k)
+                    emd_x.append(x)
+                    emd_y.append(y)
+                    emd_d.append(d)
     if emd_idx:
         ms = solve_emd_batch(emd_x, emd_y, emd_d)
         idx = np.asarray(emd_idx, dtype=np.int64)
-        out[idx] = 1.0 - ms / c_w[idx].astype(np.float64)
-    return pd.DataFrame(
-        {
-            "src": pdf["src"].values.astype(np.int64),
-            "dst": pdf["dst"].values.astype(np.int64),
-            "ricci_curvature": out,
-        }
+        out[idx] = 1.0 - ms / out_w[idx]
+    if sk_idx:
+        ms = sinkhorn_cost_batch(sk_x, sk_y, sk_d, reg=sinkhorn_reg)
+        idx = np.asarray(sk_idx, dtype=np.int64)
+        out[idx] = 1.0 - ms / out_w[idx]
+    return pa.RecordBatch.from_arrays(
+        [pa.array(out_src), pa.array(out_dst), pa.array(out)],
+        names=["src", "dst", "ricci_curvature"],
     )
 
 

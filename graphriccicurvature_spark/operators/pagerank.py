@@ -70,28 +70,36 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
-        new_ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangle_df))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce("c", F.lit(0.0)) + F.col("_dangle") / F.lit(float(n)))
-                ).alias("pagerank"),
-            )
-            .transform(truncate_plan)
+        new_rank = (
+            F.lit(base)
+            + F.lit(damping)
+            * (F.coalesce("c", F.lit(0.0)) + F.col("_dangle") / F.lit(float(n)))
         )
         if num_iterations is None:
-            err = (
-                new_ranks.join(ranks.withColumnRenamed("pagerank", "prev"), "node")
-                .agg(F.sum(F.abs(F.col("pagerank") - F.col("prev"))))
-                .collect()[0][0]
+            # convergence mode, ONE job per round: joining `ranks` (same node
+            # set as `nodes`) keeps the previous rank in-row, so the L1 delta
+            # is a plain column — and the lazy plan truncation makes the
+            # delta aggregate the very action that materializes the round.
+            staged = (
+                ranks.join(contrib, ranks.node == contrib.dst, "left")
+                .crossJoin(F.broadcast(dangle_df))
+                .select(
+                    "node",
+                    new_rank.alias("new_pagerank"),
+                    F.abs(new_rank - F.col("pagerank")).alias("_delta"),
+                )
+                .withColumnRenamed("new_pagerank", "pagerank")
+                .transform(lambda d: truncate_plan(d, eager=False))
             )
-            ranks = new_ranks
+            err = staged.agg(F.sum("_delta")).collect()[0][0]
+            ranks = staged.drop("_delta")
             if err < n * tol:
                 break
         else:
-            ranks = new_ranks
+            ranks = (
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .crossJoin(F.broadcast(dangle_df))
+                .select("node", new_rank.alias("pagerank"))
+                .transform(truncate_plan)
+            )
     return ranks

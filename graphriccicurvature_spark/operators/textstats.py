@@ -115,3 +115,51 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
         "min_shingle_hash",
         F.array_min(F.transform(sh, lambda s: F.xxhash64(s))),
     )
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """md5 variant of :func:`fingerprint` — same plumbing, but the hash is
+    reproducible in ANSI SQL (DuckDB ``md5``), so this one carries a full
+    value-level oracle. Hex-string min = lexicographic min (both engines
+    emit lowercase hex)."""
+    sh = word_shingles(F.col(text_col), k)
+    return df.withColumn("text_md5", F.md5(F.col(text_col))).withColumn(
+        "min_shingle_md5",
+        F.array_min(F.transform(sh, lambda s: F.md5(s))),
+    )
+
+
+def simhash32_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash with md5-derived bits, emitted as a '0'/'1' string.
+
+    Bit b of a token = high bit of hex digit b of md5(token) (1 iff the
+    digit is in 8..f) — 32 independent bits per token, all built-in column
+    math, reproducible bit-for-bit in DuckDB for the oracle. The production
+    simhash (operators/dedup.simhash) uses xxhash64 over 64 bits; this md5
+    twin exists to put the *algorithm* (per-position bit votes -> sign
+    vector) under a value-level oracle.
+
+    Returns (id, simhash_bits); tokenless documents get the all-zero
+    signature.
+    """
+    high = [c for c in "89abcdef"]
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    h = toks.withColumn("th", F.md5("tok"))
+    votes = [
+        F.sum(
+            F.when(F.substring("th", b + 1, 1).isin(high), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    agg = h.groupBy("id").agg(*votes)
+    sig = F.concat(
+        *[F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(32)]
+    )
+    signed = agg.select("id", sig.alias("simhash_bits"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(signed, "id", "left")
+        .select("id", F.coalesce("simhash_bits", F.lit("0" * 32)).alias("simhash_bits"))
+    )

@@ -20,14 +20,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def truncate_plan(df: DataFrame) -> DataFrame:
-    """Eagerly checkpoint ``df`` in executor memory and return a DataFrame
-    whose logical plan is a bare LogicalRDD (no inherited statistics)."""
+def truncate_plan(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Checkpoint ``df`` in executor memory and return a DataFrame whose
+    logical plan is a bare LogicalRDD (no inherited statistics).
+
+    ``eager=False`` defers materialization to the *first action* on the
+    returned DataFrame — iterative loops use this to fold a per-round
+    scalar aggregate (convergence delta) into the same job that
+    materializes the round's state, instead of paying a separate job."""
     spark = df.sparkSession
     # localCheckpoint copies each InternalRow before caching (raw toRdd()
     # iterators reuse mutable row buffers, so checkpointing those directly
     # would corrupt the data); the rewrap below discards the inherited stats.
-    lc = df.localCheckpoint(eager=True)
+    lc = df.localCheckpoint(eager=eager)
     try:
         jdf = lc._jdf
         jrdd = jdf.queryExecution().toRdd()

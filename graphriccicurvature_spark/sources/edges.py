@@ -108,6 +108,48 @@ def dense_edges_from_documents(
     )
 
 
+def clustered_edges_from_documents(
+    spark: SparkSession, sf_dir: str, comm_size: int = 50, intra_deg: int = 4
+) -> DataFrame:
+    """Deterministic planted-partition graph over the ``documents`` table.
+
+    Communities of ``comm_size`` consecutive doc_ids; each doc links to
+    ``intra_deg`` pseudo-random members of its own community, and the first
+    member of each community links to the next community (a chain, so the
+    graph is connected). This gives the Ricci-flow community pipeline real
+    cluster structure to find — the plain F2 link graph is structureless
+    pseudo-random and has no modularity drop.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    intra = (
+        docs.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(intra_deg - 1))))
+        .select(
+            F.col("doc_id").alias("src"),
+            (
+                (F.col("doc_id") - F.col("doc_id") % comm_size)
+                + (F.col("doc_id") * 7 + F.col("j") * 13 + 1) % comm_size
+            ).alias("dst"),
+        )
+    )
+    inter = (
+        docs.filter(F.col("doc_id") % comm_size == 0)
+        .join(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + comm_size) % F.col("n")).alias("dst"),
+        )
+    )
+    return (
+        intra.union(inter)
+        .join(F.broadcast(n))
+        .filter((F.col("dst") < F.col("n")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
 def edges_sql_cte(table: str = "documents") -> str:
     """DuckDB CTE producing the identical edge table (for oracle_sql)."""
     return f"""
