@@ -354,6 +354,13 @@ def _q_fingerprint(spark, sf):
     return fingerprint(_docs(spark, sf)).select("doc_id", "text_hash", "min_shingle_hash")
 
 
+def _q_embedding_dedup(spark, sf):
+    from graphriccicurvature_spark.operators.dedup import embedding_dedup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return embedding_dedup(emb, threshold=0.95).select("vec_id", "cluster", "is_survivor")
+
+
 def _q_ann_brute(spark, sf):
     from graphriccicurvature_spark.operators.similarity import cosine_topk_bruteforce
 
@@ -486,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ollivier_sinkhorn_ego": _q_ollivier_sinkhorn,
         "ricci_community": _q_ricci_community,
         "tpch_supplier_parts": _q_tpch_supplier_parts,
+        "embedding_dedup": _q_embedding_dedup,
         "ann_cosine_brute": _q_ann_brute,
         "ann_cosine_lsh": _q_ann_lsh,
         "events_window": _q_events_window,
@@ -906,6 +914,29 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         WHERE p.p_size <= 25
         GROUP BY n.n_name, p.p_brand
+    """
+    sql["embedding_dedup"] = """
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+        ),
+        nodes AS (SELECT vec_id AS node FROM embeddings),
+        symself AS (
+            SELECT src, dst FROM pairs
+            UNION SELECT dst AS src, src AS dst FROM pairs
+            UNION SELECT node AS src, node AS dst FROM nodes
+        ),
+        lab(iter, node, label) AS (
+            SELECT 0, node, node FROM nodes
+            UNION ALL
+            SELECT l.iter + 1, s.dst AS node, min(l.label) AS label
+            FROM lab l JOIN symself s ON s.src = l.node
+            WHERE l.iter < 40
+            GROUP BY l.iter, s.dst
+        )
+        SELECT node AS vec_id, label AS cluster, label = node AS is_survivor
+        FROM lab WHERE iter = 40
     """
     sql["ann_cosine_brute"] = """
         WITH q AS (

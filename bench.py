@@ -40,10 +40,19 @@ def _spark(cpus: int):
     )
 
 
-def _time(fn):
-    t0 = time.time()
-    n = fn()
-    return time.time() - t0, n
+TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+
+
+def _time(fn, trials: int | None = None):
+    """Best-of-N wall time (min over trials) — robust to shared-host noise;
+    N via $SPARK_GRAFT_TRIALS (default 2)."""
+    best, n = None, None
+    for _ in range(trials or TRIALS):
+        t0 = time.time()
+        n = fn()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return best, n
 
 
 def run_bench(spark) -> dict:
@@ -65,6 +74,15 @@ def run_bench(spark) -> dict:
     n_und = und.count()
 
     queries: dict[str, float] = {}
+
+    # one warm-up pass (JVM JIT + python worker pool + native kernel
+    # compile) so measured numbers reflect steady-state compute — the
+    # BASELINE.md protocol ("quiet machine, warm JVM, measured pass")
+    t, _ = _time(
+        lambda: ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count(),
+        trials=1,
+    )
+    queries["warmup_ollivier_cold"] = t
 
     t, _ = _time(lambda: ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count())
     queries["ollivier_ego"] = t
@@ -121,15 +139,21 @@ def _scaling_child(cpus: int) -> dict:
     )
 
     out_degree = int(os.environ.get("SPARK_GRAFT_DENSE_DEG", "32"))
-    dense = dense_edges_from_documents(spark, SF_DIR, out_degree=out_degree).cache()
+    mult = int(os.environ.get("SPARK_GRAFT_DENSE_MULT", "4"))
+    dense = dense_edges_from_documents(
+        spark, SF_DIR, out_degree=out_degree, multiply=mult
+    ).cache()
     und = canonicalize(dense).cache()
     n_edges = und.count()
     # warm-up pass (JIT + python worker pool), then the measured pass
     ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count()
     t_curv, _ = _time(
-        lambda: ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count()
+        lambda: ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count(),
+        trials=1,
     )
-    t_pr, _ = _time(lambda: pagerank(dense, num_iterations=10, directed=True).count())
+    t_pr, _ = _time(
+        lambda: pagerank(dense, num_iterations=10, directed=True).count(), trials=1
+    )
     spark.stop()
     return {"curvature_secs": t_curv, "pagerank_secs": t_pr, "n_edges": n_edges}
 
@@ -149,6 +173,7 @@ def main():
         "unit": "edges/sec",
         "sf": SF_DIR,
         "cpus": CPUS,
+        "trials": TRIALS,
         "pagerank_sec_per_iter": round(result["pagerank_sec_per_iter"], 3),
         "n_edges": result["n_edges_undirected"],
         "queries": {k: round(v, 3) for k, v in result["queries"].items()},
@@ -161,7 +186,12 @@ def main():
                 [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
                 capture_output=True,
                 text=True,
-                env={**os.environ, "SPARK_GRAFT_SCALING": "0"},
+                env={
+                    **os.environ,
+                    "SPARK_GRAFT_SCALING": "0",
+                    # headroom for 32 concurrent Arrow streams on the x4 graph
+                    "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+                },
             )
             res[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
         out["scaling"] = {

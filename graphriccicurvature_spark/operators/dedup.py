@@ -110,10 +110,10 @@ def minhash_lsh_candidates(
     buckets = docs.select("id", F.explode(band_structs).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    stats = buckets.groupBy("band", "bucket").agg(
-        F.count("*").alias("_bn"), F.min("id").alias("_bmin")
+    bw = Window.partitionBy("band", "bucket")
+    b2 = buckets.withColumn("_bn", F.count("*").over(bw)).withColumn(
+        "_bmin", F.min("id").over(bw)
     )
-    b2 = buckets.join(stats, ["band", "bucket"])
     small = b2.filter(F.col("_bn") <= bucket_cap)
     left = small.select("band", "bucket", F.col("id").alias("a"))
     right = small.select("band", "bucket", F.col("id").alias("b"))
@@ -203,6 +203,64 @@ def simhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     w = Window.partitionBy("simhash").orderBy(F.asc("id"))
     return s.withColumn("rn", F.row_number().over(w)).select(
         F.col("id").alias(id_col), "simhash", (F.col("rn") == 1).alias("is_survivor")
+    )
+
+
+def embedding_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 0,
+    tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup clustering: pairs with cosine >= threshold
+    form a dup graph; connected components cluster it; min-id survives.
+
+    ``bits=0`` compares all pairs via a broadcast-free self-join on a
+    trivial bucket (exact; small corpora / oracle path). ``bits>0`` buckets
+    by random-hyperplane LSH signatures across ``tables`` tables first —
+    the 100 TB path, where only same-bucket pairs are scored (near-dups at
+    cosine >= 0.95 collide in some table with high probability).
+
+    Returns (id, cluster, is_survivor).
+    """
+    from .similarity import lsh_signature, _hyperplanes, _dot, _norm
+
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    v = v.withColumn("_n", _norm(F.col("v")))
+    if bits > 0:
+        dim_row = v.select(F.size("v").alias("d")).first()
+        planes = [_hyperplanes(dim_row["d"], bits, 42 + 977 * t) for t in range(tables)]
+        bucketed = v.withColumn(
+            "_tb",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(":", F.lit(t), lsh_signature(F.col("v"), p))
+                        for t, p in enumerate(planes)
+                    ]
+                )
+            ),
+        )
+    else:
+        bucketed = v.withColumn("_tb", F.lit("all"))
+    left = bucketed.select("_tb", F.col("id").alias("a"), F.col("v").alias("va"), F.col("_n").alias("na"))
+    right = bucketed.select("_tb", F.col("id").alias("b"), F.col("v").alias("vb"), F.col("_n").alias("nb"))
+    pairs = (
+        left.join(right, "_tb")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .distinct()
+    )
+    all_ids = emb.select(F.col(id_col).alias("node"))
+    clusters = connected_components(pairs.withColumn("weight", F.lit(1.0)), vertices=all_ids)
+    return clusters.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
     )
 
 

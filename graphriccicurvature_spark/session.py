@@ -37,7 +37,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow batches are capped by ROW count, but ego-gather rows carry
+        # O(block_edges x degree) array payload — 10k fat rows per batch
+        # OOM-kills python workers on dense graphs. 1024 rows ≈ 16-32k
+        # edges per batch, still plenty for batched-EMD/Sinkhorn amortization.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -84,7 +84,7 @@ def edges_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dense_edges_from_documents(
-    spark: SparkSession, sf_dir: str, out_degree: int = 16
+    spark: SparkSession, sf_dir: str, out_degree: int = 16, multiply: int = 1
 ) -> DataFrame:
     """Denser deterministic variant of the F2 link graph (bench workload).
 
@@ -92,9 +92,17 @@ def dense_edges_from_documents(
     ``dst_j = (i*31 + j*127 + 7) % N`` — avg degree ~2*out_degree, which
     makes the per-edge ego-net OT work dominate fixed Spark overhead so
     parallel-scaling measurements reflect compute, not job setup.
+    ``multiply`` scales the vertex count (virtual ids beyond the document
+    table, same formula) — more total compute at identical per-edge shape,
+    for amortizing fixed overhead in scaling measurements.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    n = docs.agg(F.count("*").alias("n"))
+    if multiply > 1:
+        n_virtual = docs.count() * multiply
+        docs = spark.range(n_virtual).select(F.col("id").alias("doc_id"))
+        n = docs.agg(F.count("*").alias("n"))
+    else:
+        n = docs.agg(F.count("*").alias("n"))
     return (
         docs.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(out_degree - 1))))
         .join(F.broadcast(n))

@@ -156,6 +156,25 @@ def test_ego_sinkhorn_batched_path_matches_component(spark):
         assert ego[k] == pytest.approx(comp[k], rel=1e-8, abs=1e-10), k
 
 
+def test_ego_hub_multichunk_blocks_match_component(spark):
+    """A 100-leaf star's hub exceeds BLOCK_MAX_EDGES=32, so its eval edges
+    span multiple CSR chunks; every ego block still contains the full
+    relevant neighborhood, so values must equal component mode."""
+    pairs = [(0, i) for i in range(1, 101)]
+    e = make_edges(spark, pairs)
+    ego = {
+        (r["src"], r["dst"]): r["ricci_curvature"]
+        for r in ricci_curvature_edges(e, method="OTD", mode="ego").collect()
+    }
+    comp = {
+        (r["src"], r["dst"]): r["ricci_curvature"]
+        for r in ricci_curvature_edges(e, method="OTD", mode="component").collect()
+    }
+    assert len(ego) == 100
+    for k in comp:
+        assert ego[k] == pytest.approx(comp[k], abs=1e-9), k
+
+
 # ---------------------------------------------------------------------------
 # ADVICE #3/#4: API weight collision, edge_list orientation
 # ---------------------------------------------------------------------------
