@@ -373,6 +373,16 @@ def _q_ann_brute(spark, sf):
     )
 
 
+def _q_ann_ivf(spark, sf):
+    from graphriccicurvature_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(
+        emb, queries, k=10, n_centroids=16, nprobe=4, lloyd_iters=0
+    ).select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def _q_ann_lsh(spark, sf):
     from graphriccicurvature_spark.operators.similarity import cosine_topk_lsh
 
@@ -495,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_supplier_parts": _q_tpch_supplier_parts,
         "embedding_dedup": _q_embedding_dedup,
         "ann_cosine_brute": _q_ann_brute,
+        "ann_cosine_ivf": _q_ann_ivf,
         "ann_cosine_lsh": _q_ann_lsh,
         "events_window": _q_events_window,
         "binary_meta": _q_binary_meta,
@@ -955,6 +966,51 @@ def oracle_sql() -> dict[str, str]:
             FROM sims
         )
         SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= 10
+    """
+    sql["ann_cosine_ivf"] = """
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id < 16
+        ),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT x.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY x.vec_id
+                           ORDER BY list_cosine_similarity(x.v, c.cv) DESC, c.cid ASC
+                       ) AS rn
+                FROM vecs x CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, cid FROM (
+                SELECT x.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY x.vec_id
+                           ORDER BY list_cosine_similarity(x.v, c.cv) DESC, c.cid ASC
+                       ) AS rn
+                FROM vecs x CROSS JOIN cents c
+                WHERE x.vec_id < 5
+            ) WHERE rn <= 4
+        ),
+        sims AS (
+            SELECT p.query_id, a.vec_id,
+                   list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine
+            FROM probes p
+            JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            JOIN embeddings q ON q.vec_id = p.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+                   ) AS rank
+            FROM sims
+        )
+        SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 10
     """
     sql["events_window"] = """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

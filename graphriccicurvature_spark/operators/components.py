@@ -45,6 +45,66 @@ def _small_star(E: DataFrame) -> DataFrame:
     return nbrs.union(selfs).filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
 
 
+def connected_components_hybrid(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    collect_cap: int = 100_000,
+) -> DataFrame:
+    """CC that collects small edge sets to a driver union-find (one job)
+    and falls back to the distributed large-star/small-star fixpoint above
+    ``collect_cap`` edges.
+
+    For sparse derived graphs (near-duplicate pair graphs: |pairs| << |docs|)
+    the distributed fixpoint's per-round jobs dominate; the hybrid keeps
+    the scale path while making the common case a single collect. Labels
+    (min node id) are identical on both paths.
+    """
+    spark = edges.sparkSession
+    pairs = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .limit(collect_cap + 1)
+        .collect()
+    )
+    if len(pairs) > collect_cap:  # pragma: no cover - web-scale fallback
+        return connected_components(edges, vertices=vertices)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in pairs:
+        a, b = row["src"], row["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    merged = [(x, find(x)) for x in parent if find(x) != x]
+    all_nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    )
+    if vertices is not None:
+        all_nodes = all_nodes.union(
+            vertices.select(F.col(vertices.columns[0]).alias("node"))
+        )
+    all_nodes = all_nodes.distinct()
+    if not merged:
+        return all_nodes.select("node", F.col("node").alias("component"))
+    lab = spark.createDataFrame(merged, "node long, component long")
+    return all_nodes.join(F.broadcast(lab), "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+
+
 def connected_components(
     edges: DataFrame, vertices: DataFrame | None = None, max_iter: int = 64
 ) -> DataFrame:

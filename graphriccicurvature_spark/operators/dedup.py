@@ -19,8 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .components import connected_components
-from .textstats import tokens, word_shingles
+from .components import connected_components_hybrid
+from .textstats import shingle_hashes, tokens, word_shingles
 
 # 31-bit constants keep a*x + b < 2^63 (ANSI-mode long arithmetic, no overflow)
 _MERSENNE = (1 << 31) - 1
@@ -70,6 +70,17 @@ def _minhash_signature(shingle_hashes, num_perm: int, seed: int = 42):
     return F.array(*sigs)
 
 
+def _hashed_shingle_docs(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, shset) with arithmetic token-hash shingles (textstats.shingle_hashes)
+    — one pass over the token array, no per-shingle string building."""
+    return _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_hashes(F.col(text_col), shingle_k)).alias("shset"),
+    ).filter(F.size("shset") > 0)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -78,6 +89,7 @@ def minhash_lsh_candidates(
     num_perm: int = 32,
     bands: int = 8,
     bucket_cap: int = 64,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) via MinHash-LSH band bucketing.
 
@@ -90,14 +102,12 @@ def minhash_lsh_candidates(
     results are unchanged.
     """
     rows_per_band = num_perm // bands
-    sh = word_shingles(F.col(text_col), shingle_k)
-    # single-file inputs arrive as one partition; spread the per-doc
-    # signature computation across the cluster before the heavy transforms
-    docs = _spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("sh_hashes"),
-    ).filter(F.size("sh_hashes") > 0)
-    docs = docs.withColumn("sig", _minhash_signature(F.col("sh_hashes"), num_perm))
+    # single-file inputs arrive as one partition; _hashed_shingle_docs
+    # spreads the per-doc hashing across the cluster (explicit numbered
+    # repartition) before the heavy transforms
+    if docs is None:
+        docs = _hashed_shingle_docs(df, id_col, text_col, shingle_k)
+    docs = docs.withColumn("sig", _minhash_signature(F.col("shset"), num_perm))
     band_structs = F.array(
         *[
             F.struct(
@@ -144,15 +154,11 @@ def minhash_dedup(
     connected components over the dup graph -> min-id survivor.
 
     Returns (id, cluster, is_survivor)."""
+    # shingle sets computed ONCE and shared by candidate generation and
+    # the exact-Jaccard verify (the hashing pass dominated both before)
+    sets = _hashed_shingle_docs(df, id_col, text_col, shingle_k).cache()
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, shingle_k, num_perm, bands, bucket_cap
-    )
-    sh = word_shingles(F.col(text_col), shingle_k)
-    # exact-Jaccard verify over hashed shingles (64-bit) — identical result
-    # modulo hash collisions, far cheaper than string-array set ops
-    sets = _spread(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("shset"),
+        df, id_col, text_col, shingle_k, num_perm, bands, bucket_cap, docs=sets
     )
     verified = (
         cands.join(sets.select(F.col("id").alias("a"), F.col("shset").alias("sa")), "a")
@@ -165,7 +171,10 @@ def minhash_dedup(
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
     all_ids = df.select(F.col(id_col).alias("node"))
-    clusters = connected_components(verified.withColumn("weight", F.lit(1.0)), vertices=all_ids)
+    # dup graphs are sparse relative to the corpus: hybrid CC collects
+    # small pair sets into a driver union-find (one job) and falls back to
+    # the distributed fixpoint above its cap
+    clusters = connected_components_hybrid(verified, vertices=all_ids)
     return clusters.select(
         F.col("node").alias(id_col),
         F.col("component").alias("cluster"),
@@ -256,7 +265,7 @@ def embedding_dedup(
         .distinct()
     )
     all_ids = emb.select(F.col(id_col).alias("node"))
-    clusters = connected_components(pairs.withColumn("weight", F.lit(1.0)), vertices=all_ids)
+    clusters = connected_components_hybrid(pairs, vertices=all_ids)
     return clusters.select(
         F.col("node").alias(id_col),
         F.col("component").alias("cluster"),

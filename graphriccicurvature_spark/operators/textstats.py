@@ -107,6 +107,38 @@ def word_shingles(text_col, k: int = 3) -> Column:
     )
 
 
+def shingle_hashes(text_col, k: int = 3) -> Column:
+    """Word k-gram shingle hashes WITHOUT building shingle strings.
+
+    Tokens are hashed once (xxhash64), then each shingle hash is an
+    order-sensitive arithmetic combination of k consecutive token hashes —
+    one pass over the token array instead of per-shingle slice+concat
+    string building (the dominant cost of the string path at scale).
+    31-bit masks keep every product under 2^62 (ANSI long arithmetic).
+    Collision quality is ample for candidate generation; exact verification
+    downstream never trusts these hashes alone.
+    """
+    mask = (1 << 31) - 1
+    muls = [1000003, 8191, 127, 31, 7, 3, 257, 8209]  # k <= 8 supported
+    toks = tokens(text_col)
+    ht = F.transform(toks, lambda t: F.xxhash64(t).bitwiseAND(F.lit(mask)))
+    n = F.size(ht)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+
+    def comb(i):
+        parts = [
+            F.element_at(ht, i + F.lit(j + 1)) * F.lit(muls[j]) for j in range(k)
+        ]
+        s = parts[0]
+        for p in parts[1:]:
+            s = s + p
+        return s
+
+    return F.when(n < k, F.array().cast("array<bigint>")).otherwise(
+        F.transform(idx, comb)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Document fingerprints: full-text hash + min-shingle-hash (winnowing-
     style representative) — both 64-bit, built-in xxhash64."""

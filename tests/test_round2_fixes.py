@@ -269,6 +269,55 @@ def test_components_sweep_matches_from_scratch(spark):
         ), f"modularity differs at cutoff {c}"
 
 
+def test_ivf_ann_recall_and_lloyd(spark):
+    """IVF-flat candidates must beat random-cell recall vs exact brute
+    force, and the Lloyd-refined variant must still return valid top-k."""
+    import numpy as np
+
+    from graphriccicurvature_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    rng = np.random.RandomState(11)
+    n, d = 300, 16
+    vecs = rng.randn(n, d)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") < 4)
+    exact = cosine_topk_bruteforce(emb, qs, k=5).collect()
+    got0 = cosine_topk_ivf(emb, qs, k=5, n_centroids=8, nprobe=4, lloyd_iters=0).collect()
+    got1 = cosine_topk_ivf(emb, qs, k=5, n_centroids=8, nprobe=4, lloyd_iters=1).collect()
+    want = {(r["query_id"], r["vec_id"]) for r in exact}
+    for got in (got0, got1):
+        hits = {(r["query_id"], r["vec_id"]) for r in got}
+        recall = len(want & hits) / len(want)
+        assert recall >= 0.5, recall
+        # ranks contiguous per query, cosines within [-1, 1]
+        assert all(-1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9 for r in got)
+
+
+def test_shingle_hashes_counts_match_strings(spark):
+    """Arithmetic token-hash shingles produce one hash per word k-gram,
+    matching the string shingle count (distinctness modulo collisions)."""
+    from graphriccicurvature_spark.operators.textstats import (
+        shingle_hashes,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x y"), (2, ""), (3, "p q r")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        F.size(word_shingles(F.col("text"), 3)).alias("ns"),
+        F.size(shingle_hashes(F.col("text"), 3)).alias("nh"),
+    ).collect()
+    for r in out:
+        assert r["ns"] == r["nh"], r
+
+
 def test_ngram_df_cut_values_exact(spark):
     from graphriccicurvature_spark.operators.dedup import ngram_jaccard_pairs
 
