@@ -115,6 +115,7 @@ def component_curvature(
     exp_power: float = 2.0,
     nbr_topk: int = 3000,
     sinkhorn_reg: float = 1e-1,
+    otd_sinkhorn_threshold: int = OTD_SINKHORN_THRESHOLD,
 ) -> np.ndarray:
     """Ollivier-Ricci curvature for ``eval`` edges within one gathered block.
 
@@ -186,8 +187,8 @@ def component_curvature(
             d = D[np.ix_(xs, ys)]
             if method == "Sinkhorn" or (
                 method == "OTDSinkhornMix"
-                and len(x) > OTD_SINKHORN_THRESHOLD
-                and len(y) > OTD_SINKHORN_THRESHOLD
+                and len(x) > otd_sinkhorn_threshold
+                and len(y) > otd_sinkhorn_threshold
             ):  # deferred: batched Sinkhorn per record batch (north star)
                 sk_idx.append(e)
                 sk_x.append(x)

@@ -84,6 +84,7 @@ def ricci_curvature_edges(
     components: DataFrame | None = None,
     salt: int | None = None,
     cache_registry: list | None = None,
+    otd_sinkhorn_threshold: int = OTD_SINKHORN_THRESHOLD,
 ) -> DataFrame:
     """Returns ``(src, dst, ricci_curvature)`` for the requested edges.
 
@@ -112,11 +113,11 @@ def ricci_curvature_edges(
     if mode == "component":
         return _component_mode(
             edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg,
-            components,
+            components, otd_sinkhorn_threshold,
         )
     return _ego_mode(
         edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg,
-        salt, cache_registry,
+        salt, cache_registry, otd_sinkhorn_threshold,
     )
 
 
@@ -127,7 +128,7 @@ def ricci_curvature_edges(
 
 def _component_mode(
     edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg,
-    components=None,
+    components=None, otd_sinkhorn_threshold=OTD_SINKHORN_THRESHOLD,
 ):
     if components is not None:
         comps = components
@@ -164,6 +165,7 @@ def _component_mode(
             exp_power=exp_power,
             nbr_topk=nbr_topk,
             sinkhorn_reg=sinkhorn_reg,
+            otd_sinkhorn_threshold=otd_sinkhorn_threshold,
         )
         return pd.DataFrame(
             {"src": ev["src"].values, "dst": ev["dst"].values, "ricci_curvature": k}
@@ -218,7 +220,7 @@ def _empty_d():
 
 def _ego_mode(
     edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg,
-    salt=None, cache_registry=None,
+    salt=None, cache_registry=None, otd_sinkhorn_threshold=OTD_SINKHORN_THRESHOLD,
 ):
     if directed:
         out_view = edges.select("src", "dst", "weight")
@@ -358,6 +360,7 @@ def _ego_mode(
         exp_power=exp_power,
         nbr_topk=nbr_topk,
         sinkhorn_reg=sinkhorn_reg,
+        otd_sinkhorn_threshold=otd_sinkhorn_threshold,
     )
 
     def solve(batches):
@@ -415,6 +418,7 @@ def _solve_ego_arrow(
     exp_power: float,
     nbr_topk: int,
     sinkhorn_reg: float,
+    otd_sinkhorn_threshold: int = OTD_SINKHORN_THRESHOLD,
 ):
     """Per-Arrow-batch CSR-blocked ego solve on flat list buffers.
 
@@ -562,8 +566,8 @@ def _solve_ego_arrow(
                 d = _clamp_nonfinite(D[np.ix_(xs, ys)], w_st)
                 if method == "Sinkhorn" or (
                     method == "OTDSinkhornMix"
-                    and len(x) > OTD_SINKHORN_THRESHOLD
-                    and len(y) > OTD_SINKHORN_THRESHOLD
+                    and len(x) > otd_sinkhorn_threshold
+                    and len(y) > otd_sinkhorn_threshold
                 ):  # deferred — batched Sinkhorn per Arrow batch (north star)
                     sk_idx.append(k)
                     sk_x.append(x)

@@ -120,6 +120,33 @@ def incremental_edge_ingest(
     )
 
 
+def streaming_exact_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup: first document per md5(text) survives.
+
+    With ``ts_col`` set (time-stamped corpora, e.g. warc_ts), uses
+    ``dropDuplicatesWithinWatermark`` so the dedup state is bounded by the
+    watermark horizon — the only state shape that survives an unbounded
+    crawl stream. Without a timestamp it falls back to plain
+    ``dropDuplicates`` on the hash (state grows with distinct documents;
+    fine for bounded backfills, documented trade-off).
+    """
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    hashed = stream.withColumn("group_hash", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        hashed = hashed.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+        return hashed.withWatermark("_ts", watermark).dropDuplicatesWithinWatermark(
+            ["group_hash"]
+        )
+    return hashed.dropDuplicates(["group_hash"])
+
+
 def run_stream_to_memory(stream_df, name: str):
     """Drain a stream with availableNow into an in-memory sink (tests)."""
     q = (

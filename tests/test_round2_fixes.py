@@ -175,6 +175,66 @@ def test_ego_hub_multichunk_blocks_match_component(spark):
         assert ego[k] == pytest.approx(comp[k], abs=1e-9), k
 
 
+# karate Sinkhorn goldens (reg=0.1, POT sinkhorn_knopp semantics): pinned
+# from the verified transcription (cross-validated against the independent
+# naive re-derivation above); entropic blur of the OTD values
+# [0.111111, -0.14375, 0.041667, -0.114583, -0.28125].
+_KARATE_SINKHORN_5 = [
+    0.110614046, -0.144026855, 0.041480672, -0.114598921, -0.281266598,
+]
+
+
+def test_sinkhorn_curvature_pinned_and_mix_dispatch():
+    """Sinkhorn curvature values pinned on karate; OTDSinkhornMix with a
+    tiny threshold must route through the batched Sinkhorn path and equal
+    method='Sinkhorn' exactly (the above-threshold dispatch branch)."""
+    import networkx as nx
+    import numpy as np
+
+    from graphriccicurvature_spark.functions.localgraph import component_curvature
+
+    G = nx.karate_club_graph()
+    e = np.array(G.edges())
+    ones = np.ones(len(e))
+    ks = component_curvature(e[:, 0], e[:, 1], ones, e[:5, 0], e[:5, 1], method="Sinkhorn")
+    np.testing.assert_allclose(ks, _KARATE_SINKHORN_5, atol=1e-8)
+    km = component_curvature(
+        e[:, 0], e[:, 1], ones, e[:5, 0], e[:5, 1],
+        method="OTDSinkhornMix", otd_sinkhorn_threshold=2,
+    )
+    np.testing.assert_allclose(km, ks, atol=0)
+    # below threshold the Mix stays exact-OT
+    ko = component_curvature(e[:, 0], e[:, 1], ones, e[:5, 0], e[:5, 1], method="OTD")
+    kmix = component_curvature(
+        e[:, 0], e[:, 1], ones, e[:5, 0], e[:5, 1], method="OTDSinkhornMix"
+    )
+    np.testing.assert_allclose(kmix, ko, atol=0)
+
+
+def test_mix_threshold_dispatch_spark_end_to_end(spark):
+    """otd_sinkhorn_threshold threads through both Spark modes: forcing it
+    low makes Mix equal the Sinkhorn method's output."""
+    import networkx as nx
+
+    G = nx.karate_club_graph()
+    e = make_edges(spark, list(G.edges()))
+    for mode in ("component", "ego"):
+        mix = {
+            (r["src"], r["dst"]): r["ricci_curvature"]
+            for r in ricci_curvature_edges(
+                # support size = nbrs + self >= 2 for any edge endpoint, so
+                # threshold 1 forces every edge through the Sinkhorn branch
+                e, method="OTDSinkhornMix", mode=mode, otd_sinkhorn_threshold=1
+            ).collect()
+        }
+        sink = {
+            (r["src"], r["dst"]): r["ricci_curvature"]
+            for r in ricci_curvature_edges(e, method="Sinkhorn", mode=mode).collect()
+        }
+        for key in sink:
+            assert mix[key] == pytest.approx(sink[key], abs=1e-12), (mode, key)
+
+
 # ---------------------------------------------------------------------------
 # ADVICE #3/#4: API weight collision, edge_list orientation
 # ---------------------------------------------------------------------------

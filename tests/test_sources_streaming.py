@@ -37,3 +37,43 @@ def test_incremental_edge_ingest_matches_batch(tmp_path, spark):
     q2 = incremental_edge_ingest(spark, pages_dir, pages.schema, edges_out, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(edges_out).count() == n_before
+
+
+def test_streaming_exact_dedup_matches_batch(tmp_path, spark):
+    """Stream dedup (availableNow) keeps exactly one row per distinct text;
+    the watermarked variant (time-stamped corpus) agrees on the count."""
+    from pyspark.sql import functions as F
+
+    from graphriccicurvature_spark.streaming.events import streaming_exact_dedup
+
+    docs_dir = str(tmp_path / "docs_stream")
+    rows = [(i, f"text number {i % 7}", "2026-01-01 00:%02d:00" % (i % 60)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts_str string").withColumn(
+        "warc_ts", F.col("ts_str").cast("timestamp")
+    ).drop("ts_str")
+    df.write.parquet(docs_dir)
+    n_distinct = df.select("text").distinct().count()
+
+    out = streaming_exact_dedup(spark, docs_dir, df.schema)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_plain")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) c, count(DISTINCT group_hash) d FROM dedup_plain").collect()[0]
+    assert got["c"] == n_distinct and got["d"] == n_distinct
+
+    out_wm = streaming_exact_dedup(spark, docs_dir, df.schema, ts_col="warc_ts")
+    q2 = (
+        out_wm.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got2 = spark.sql("SELECT count(*) c FROM dedup_wm").collect()[0]
+    assert got2["c"] == n_distinct
