@@ -123,20 +123,30 @@ def ricci_flow(
     if comps is None and mode == "component":
         comps = connected_components(state.select("src", "dst", "weight")).cache()
 
-    n_edges = state.count()
+    # bootstrap: the gradient step's un-normalized weight sum for round i is
+    # Σ w·(1 − step·κ) over round i−1's table, so each round's convergence
+    # aggregate also pre-computes the NEXT round's renormalization constant —
+    # no separate per-round sum job (reference computes it separately,
+    # :583-588; the value is identical).
+    boot = state.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.col("weight") - F.lit(step) * F.col("ricci_curvature") * F.col("weight")
+        ).alias("next_sumw"),
+    ).collect()[0]
+    n_edges = boot["n"]
     normalized_weight = float(n_edges)
+    next_sumw = boot["next_sumw"]
 
     for i in range(start_round, iterations):
         t0 = time.time()
-        # 1. gradient step on the flow metric (reference :580-581)
+        # 1+2. gradient step + global renormalization to sum(w) == |E|
+        # (reference :580-588) in one expression: the raw sum came from the
+        # previous round's aggregate
         updated = state.withColumn(
             "weight",
-            F.col("weight") - F.lit(step) * F.col("ricci_curvature") * F.col("weight"),
-        )
-        # 2. global renormalization to sum(w) == |E| (reference :583-588)
-        sumw = updated.agg(F.sum("weight")).collect()[0][0]
-        updated = updated.withColumn(
-            "weight", F.col("weight") * F.lit(normalized_weight / sumw)
+            (F.col("weight") - F.lit(step) * F.col("ricci_curvature") * F.col("weight"))
+            * F.lit(normalized_weight / next_sumw),
         )
         # 3. recompute curvature on the new metric (reference :591)
         k = ricci_curvature_edges(
@@ -147,15 +157,22 @@ def ricci_flow(
             updated.select("src", "dst", "weight", "original_rc")
             .join(k, ["src", "dst"])
             .select("src", "dst", "weight", "ricci_curvature", "original_rc")
-            .transform(truncate_plan)
+            .transform(lambda d: truncate_plan(d, eager=False))
         )
-        _drain_caches(caches)
-        # 4. convergence (reference :593-600)
+        # 4. convergence (reference :593-600) — this aggregate is the action
+        # that materializes the round's checkpoint (ONE action per round)
+        # and also yields the next round's renormalization sum
         stats = state.agg(
             F.max("ricci_curvature").alias("kmax"),
             F.min("ricci_curvature").alias("kmin"),
             F.sum("weight").alias("sumw"),
+            F.sum(
+                F.col("weight")
+                - F.lit(step) * F.col("ricci_curvature") * F.col("weight")
+            ).alias("next_sumw"),
         ).collect()[0]
+        next_sumw = stats["next_sumw"]
+        _drain_caches(caches)
         diff = stats["kmax"] - stats["kmin"]
         if verbose:
             print(
@@ -181,8 +198,16 @@ def ricci_flow(
         # 5. surgery hook (reference :604-608)
         if surgery is not None and i != 0 and i % surgery_every == 0:
             state = surgery(state)
-            n_edges = state.count()
+            post = state.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.col("weight")
+                    - F.lit(step) * F.col("ricci_curvature") * F.col("weight")
+                ).alias("next_sumw"),
+            ).collect()[0]
+            n_edges = post["n"]
             normalized_weight = float(n_edges)
+            next_sumw = post["next_sumw"]
             if mode == "component":
                 comps = connected_components(state.select("src", "dst", "weight")).cache()
     return state
