@@ -81,6 +81,17 @@ def _q_degree(spark, sf):
     return degree_table(und).select("node", "degree")
 
 
+def _q_degree_histogram(spark, sf):
+    from graphriccicurvature_spark.operators.degrees import degree_table
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return (
+        degree_table(und)
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
 def _q_triangle_count(spark, sf):
     from graphriccicurvature_spark.operators.triangles import triangle_count_global
 
@@ -473,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_build": _q_edges,
         "degree": _q_degree,
+        "degree_histogram": _q_degree_histogram,
         "triangle_count": _q_triangle_count,
         "triangles_per_node": _q_triangles_per_node,
         "weight_cut": _q_weight_cut,
@@ -565,6 +577,10 @@ def oracle_sql() -> dict[str, str]:
     sql = {}
     sql["edges_build"] = f"WITH {_E} SELECT src, dst, weight FROM edges"
     sql["degree"] = f"WITH {_E}, {_UND} SELECT node, degree FROM deg"
+    sql["degree_histogram"] = f"""
+        WITH {_E}, {_UND}
+        SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+    """
     sql["triangle_count"] = f"""
         WITH {_E}, {_UND}
         SELECT count(*) AS n_triangles

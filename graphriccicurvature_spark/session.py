@@ -44,5 +44,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # bucketed tables (sources/bucketed.py) land here, not in ./spark-warehouse
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/grc_warehouse"),
+        )
     )
     return builder.getOrCreate()

@@ -378,6 +378,47 @@ def test_shingle_hashes_counts_match_strings(spark):
         assert r["ns"] == r["nh"], r
 
 
+def test_bucketed_edges_join_without_exchange(spark):
+    """A self-join on src over the bucketed edge table must not shuffle
+    either side (bucket co-location replaces the exchange)."""
+    from graphriccicurvature_spark.sources.bucketed import (
+        load_bucketed_edges,
+        save_bucketed_edges,
+    )
+
+    e = make_edges(spark, [(i, (i * 7 + 1) % 50) for i in range(200)])
+    tbl = "bucketed_edges_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    save_bucketed_edges(e, tbl, buckets=8)
+    # disable broadcast so the planner actually uses the bucketed layout
+    # (tiny test tables would otherwise broadcast and skip bucketing)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        b = load_bucketed_edges(spark, tbl)
+        j = b.alias("a").join(
+            b.alias("b").withColumnRenamed("dst", "dst2").withColumnRenamed(
+                "weight", "w2"
+            ),
+            "src",
+        )
+        rows = j.collect()  # executes j's own query -> final AQE plan
+        expect = (
+            e.alias("a")
+            .join(e.alias("b").withColumnRenamed("dst", "dst2"), "src")
+            .count()
+        )
+        assert len(rows) == expect
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_ngram_df_cut_values_exact(spark):
     from graphriccicurvature_spark.operators.dedup import ngram_jaccard_pairs
 
