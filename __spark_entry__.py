@@ -336,6 +336,60 @@ def _q_ollivier_atd(spark, sf):
     )
 
 
+def _q_ollivier_atd_nodes(spark, sf):
+    """Node curvature aggregation (reference OllivierRicci.py:510-519) over
+    the SQL-expressible ATD edge curvature — puts O8's divide-by-full-degree
+    semantics under a value-level oracle."""
+    from graphriccicurvature_spark.operators.ollivier import (
+        node_curvature,
+        ricci_curvature_edges,
+    )
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    k = ricci_curvature_edges(und, method="ATD", alpha=0.5, mode="component")
+    return node_curvature(und, k).select(
+        "node", F.round("ricci_curvature", 6).alias("ricci_curvature")
+    )
+
+
+def _q_ollivier_atd_directed(spark, sf):
+    """Directed ATD (predecessor-side source distributions, directed
+    shortest paths) on the raw directed documents graph."""
+    from graphriccicurvature_spark.operators.ollivier import ricci_curvature_edges
+
+    e = edges_from_documents(spark, sf)
+    # eval only edges whose src has a predecessor and dst a successor: the
+    # reference formula divides by both neighbor counts (a graph where
+    # that fails would crash the reference too)
+    el = (
+        e.join(e.select(F.col("dst").alias("src")).distinct(), "src", "left_semi")
+        .join(e.select(F.col("src").alias("dst")).distinct(), "dst", "left_semi")
+        .select("src", "dst")
+    )
+    return ricci_curvature_edges(
+        e, method="ATD", alpha=0.5, mode="component", directed=True, edge_list=el
+    ).select("src", "dst", F.round("ricci_curvature", 6).alias("ricci_curvature"))
+
+
+def _q_ollivier_atd_weighted(spark, sf):
+    """Weighted ATD: synthetic deterministic weights in [1.0, 1.9], exact
+    weighted shortest paths — puts the weighted-distance kernel under a
+    value-level oracle (hop-bounded weighted BFS is exact here because any
+    6-hop path already outweighs the 3-hop ceiling)."""
+    from graphriccicurvature_spark.operators.ollivier import ricci_curvature_edges
+
+    # sevenths, not tenths: non-dyadic weights keep rounded curvature values
+    # off exact half-boundaries, where Spark's and DuckDB's last-ulp noise
+    # would otherwise round differently
+    und = canonicalize(edges_from_documents(spark, sf)).withColumn(
+        "weight",
+        F.lit(1.0) + ((F.col("src") * 7 + F.col("dst") * 13) % 10).cast("double") / F.lit(7.0),
+    )
+    return ricci_curvature_edges(und, method="ATD", alpha=0.5, mode="component").select(
+        "src", "dst", F.round("ricci_curvature", 6).alias("ricci_curvature")
+    )
+
+
 def _q_ollivier_sinkhorn(spark, sf):
     """Forced-Sinkhorn ego mode: every edge goes through the batched
     entropic-OT kernel (functions/sinkhorn.sinkhorn_batch)."""
@@ -512,6 +566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_edges": _q_pages_edges,
         "pages_text": _q_pages_text,
         "ollivier_atd": _q_ollivier_atd,
+        "ollivier_atd_nodes": _q_ollivier_atd_nodes,
+        "ollivier_atd_directed": _q_ollivier_atd_directed,
+        "ollivier_atd_weighted": _q_ollivier_atd_weighted,
         "ollivier_sinkhorn_ego": _q_ollivier_sinkhorn,
         "ricci_community": _q_ricci_community,
         "tpch_supplier_parts": _q_tpch_supplier_parts,
@@ -897,8 +954,7 @@ def oracle_sql() -> dict[str, str]:
     # ATD curvature on the unit-weight documents graph: exact BFS distances
     # via a depth-3 recursive CTE (for neighbors a of u and b of v the true
     # distance is at most 3 via a-u-v-b, so depth 3 is exact).
-    sql["ollivier_atd"] = f"""
-        WITH RECURSIVE {_E}, {_UND},
+    _atd_core = f"""{_E}, {_UND},
         p(src, dst, d) AS (
             SELECT src, dst, 1 FROM sym
             UNION
@@ -906,11 +962,11 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN sym s ON s.src = p.dst
             WHERE p.d < 3
         ),
-        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        bnodes AS (SELECT DISTINCT src AS node FROM sym),
         dist AS (
             SELECT src, dst, min(d) AS dd FROM p WHERE src <> dst GROUP BY src, dst
             UNION ALL
-            SELECT node, node, 0 FROM nodes
+            SELECT node, node, 0 FROM bnodes
         ),
         pairs AS (
             SELECT e.src AS u, e.dst AS v, a.dst AS na, b.dst AS nb
@@ -922,13 +978,132 @@ def oracle_sql() -> dict[str, str]:
             SELECT u, v, sum(dd.dd) AS sd
             FROM pairs p2 JOIN dist dd ON dd.src = p2.na AND dd.dst = p2.nb
             GROUP BY u, v
+        ),
+        atd AS (
+            SELECT s.u AS src, s.v AS dst,
+                   1.0 - (0.5 * 1.0
+                         + 0.5 / (du.degree * dv.degree) * s.sd) AS k
+            FROM sums s
+            JOIN deg du ON du.node = s.u
+            JOIN deg dv ON dv.node = s.v
+        )"""
+    sql["ollivier_atd"] = f"""
+        WITH RECURSIVE {_atd_core}
+        SELECT src, dst, round(k, 6) AS ricci_curvature FROM atd
+    """
+    sql["ollivier_atd_nodes"] = f"""
+        WITH RECURSIVE {_atd_core},
+        contrib AS (
+            SELECT src AS node, k FROM atd
+            UNION ALL SELECT dst AS node, k FROM atd
+        ),
+        nodesum AS (SELECT node, sum(k) AS ks FROM contrib GROUP BY node)
+        SELECT d.node,
+               round(coalesce(ns.ks, 0) / d.degree, 6) AS ricci_curvature
+        FROM deg d LEFT JOIN nodesum ns ON ns.node = d.node
+    """
+    # weighted ATD: weights in [1.0, 1+9/7 ~ 2.286] (sevenths, non-dyadic —
+    # see the query docstring); a relevant shortest path weighs at most
+    # 3*(16/7) ~ 6.857 (the na-u-v-nb detour), and every 7-hop path weighs
+    # >= 7.0, so pruning partial paths above 6.86 keeps the bounded
+    # recursion exact. The direct arc is NOT necessarily the s-t shortest
+    # path here, so the alpha term uses the true distance.
+    sql["ollivier_atd_weighted"] = f"""
+        WITH RECURSIVE {_E},
+        undw AS (
+            SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+            FROM edges
+        ),
+        wedges AS (
+            SELECT src, dst,
+                   1.0 + CAST((src * 7 + dst * 13) % 10 AS DOUBLE) / 7.0 AS w
+            FROM undw
+        ),
+        symw AS (
+            SELECT src, dst, w FROM wedges
+            UNION ALL SELECT dst AS src, src AS dst, w FROM wedges
+        ),
+        wdeg AS (SELECT src AS node, count(*) AS degree FROM symw GROUP BY src),
+        wp(src, dst, w, h) AS (
+            SELECT src, dst, w, 1 FROM symw
+            UNION
+            SELECT wp.src, s.dst, wp.w + s.w, wp.h + 1
+            FROM wp JOIN symw s ON s.src = wp.dst
+            WHERE wp.h < 6 AND wp.w + s.w <= 6.86 AND s.dst <> wp.src
+        ),
+        wnodes AS (SELECT DISTINCT src AS node FROM symw),
+        wdist AS (
+            SELECT src, dst, min(w) AS dd FROM wp WHERE src <> dst GROUP BY src, dst
+            UNION ALL
+            SELECT node, node, 0.0 FROM wnodes
+        ),
+        wpairs AS (
+            SELECT e.src AS u, e.dst AS v, e.w AS w_st, a.dst AS na, b.dst AS nb
+            FROM wedges e
+            JOIN symw a ON a.src = e.src
+            JOIN symw b ON b.src = e.dst
+        ),
+        wsums AS (
+            SELECT u, v, any_value(w_st) AS w_st, sum(dd.dd) AS sd
+            FROM wpairs p2 JOIN wdist dd ON dd.src = p2.na AND dd.dst = p2.nb
+            GROUP BY u, v
         )
         SELECT s.u AS src, s.v AS dst,
-               round(1.0 - (0.5 * 1.0
-                     + 0.5 / (du.degree * dv.degree) * s.sd), 6) AS ricci_curvature
+               round(1.0 - (0.5 * dst0.dd
+                     + 0.5 / (du.degree * dv.degree) * s.sd) / s.w_st, 6)
+                   AS ricci_curvature
+        FROM wsums s
+        JOIN wdeg du ON du.node = s.u
+        JOIN wdeg dv ON dv.node = s.v
+        JOIN wdist dst0 ON dst0.src = s.u AND dst0.dst = s.v
+    """
+    # directed ATD: predecessor-side sources, directed BFS distances (the
+    # path u -> s -> t -> v always exists inside the arcs, so depth 3 is
+    # exact); eval restricted to edges whose src has a predecessor and dst
+    # a successor (reference semantics divide by both neighbor counts)
+    sql["ollivier_atd_directed"] = f"""
+        WITH RECURSIVE {_E},
+        dnodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        p(src, dst, d) AS (
+            SELECT src, dst, 1 FROM edges
+            UNION
+            SELECT p.src, e.dst, p.d + 1
+            FROM p JOIN edges e ON e.src = p.dst
+            WHERE p.d < 3
+        ),
+        dist AS (
+            SELECT src, dst, min(d) AS dd FROM p WHERE src <> dst GROUP BY src, dst
+            UNION ALL
+            SELECT node, node, 0 FROM dnodes
+        ),
+        pred_cnt AS (SELECT dst AS node, count(*) AS c FROM edges GROUP BY dst),
+        succ_cnt AS (SELECT src AS node, count(*) AS c FROM edges GROUP BY src),
+        el AS (
+            SELECT e.src, e.dst FROM edges e
+            JOIN pred_cnt pc ON pc.node = e.src
+            JOIN succ_cnt sc ON sc.node = e.dst
+        ),
+        pairs AS (
+            SELECT el.src AS u, el.dst AS v, a.src AS na, b.dst AS nb
+            FROM el
+            JOIN edges a ON a.dst = el.src
+            JOIN edges b ON b.src = el.dst
+        ),
+        sums AS (
+            SELECT u, v, sum(dd.dd) AS sd
+            FROM pairs p2 JOIN dist dd ON dd.src = p2.na AND dd.dst = p2.nb
+            GROUP BY u, v
+        )
+        SELECT s.u AS src, s.v AS dst,
+               round(1.0 - (0.5 * 1.0 + 0.5 / (pc.c * sc.c) * s.sd), 6)
+                   AS ricci_curvature
         FROM sums s
-        JOIN deg du ON du.node = s.u
-        JOIN deg dv ON dv.node = s.v
+        JOIN pred_cnt pc ON pc.node = s.u
+        JOIN succ_cnt sc ON sc.node = s.v
     """
     sql["tpch_supplier_parts"] = """
         SELECT n.n_name, p.p_brand,
