@@ -92,15 +92,45 @@ def pad_problems(xs: list, ys: list, ds: list):
     return A, B, Ms
 
 
+def _pow2_class(n: int) -> int:
+    """Smallest power of two >= n (the padding size class)."""
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def size_buckets(xs: list, ys: list) -> dict:
+    """Group problem indices by (pow2(|x|), pow2(|y|)) padding class.
+
+    Padding within a class wastes at most 4x (2x per side) of the real
+    problem area, so one giant-support hub problem in an otherwise-small
+    Arrow batch no longer inflates every problem's padded cost matrix to
+    max_m x max_n (the round-2 global-max padding scale hazard)."""
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        buckets.setdefault((_pow2_class(len(x)), _pow2_class(len(y))), []).append(i)
+    return buckets
+
+
 def sinkhorn_cost_batch(
     xs: list, ys: list, ds: list, reg: float = 1e-1,
     num_iter_max: int = 1000, stop_thr: float = 1e-9,
 ) -> np.ndarray:
-    """Solve a list of independent Sinkhorn problems in one padded batch."""
+    """Solve a list of independent Sinkhorn problems, padded per size class.
+
+    Problems are bucketed by power-of-two support-size class and each bucket
+    is padded/solved independently (:func:`size_buckets`): per-problem
+    values are identical to a single global-max-padded batch (problems are
+    independent in :func:`sinkhorn_batch`), but peak padded memory is
+    bounded by ~4x the sum of real problem sizes instead of
+    nb x max_m x max_n."""
     if not xs:
         return np.empty(0)
-    A, B, Ms = pad_problems(xs, ys, ds)
-    return sinkhorn_batch(A, B, Ms, reg=reg, num_iter_max=num_iter_max, stop_thr=stop_thr)
+    out = np.empty(len(xs))
+    for idx in size_buckets(xs, ys).values():
+        A, B, Ms = pad_problems([xs[i] for i in idx], [ys[i] for i in idx], [ds[i] for i in idx])
+        out[np.asarray(idx)] = sinkhorn_batch(
+            A, B, Ms, reg=reg, num_iter_max=num_iter_max, stop_thr=stop_thr
+        )
+    return out
 
 
 def sinkhorn_batch(

@@ -93,10 +93,12 @@ def _components_sweep(
     edges *contracted by the base labels* (at most one row per merged
     component pair — usually far fewer than |E|). Because union-find is
     incremental, replaying those pairs level by level on the driver yields
-    every level's merge map at once; a single broadcast join then attaches
-    all level columns. Total job count is constant in the number of
-    cutoffs. Component ids (min node id) are identical to a from-scratch
-    CC per cutoff because min-labels compose through contraction.
+    every level's *merge delta* (only the roots that lost root status at
+    that level — O(total merges) driver memory); tiny chained broadcast
+    joins then attach the level columns, all inside one shuffle-free stage.
+    Total shuffle count is constant in the number of cutoffs. Component ids
+    (min node id) are identical to a from-scratch CC per cutoff because
+    min-labels compose through contraction.
 
     If the contracted delta set exceeds ``_HYBRID_DELTA_CAP`` rows (huge
     merge fronts at full web scale), falls back to a distributed per-level
@@ -154,9 +156,15 @@ def _components_sweep(
             parent[x], x = r, parent[x]
         return r
 
-    # replay deltas level by level; snapshot every touched label's root
-    snapshots: dict[int, list[int]] = {}  # c0 label -> per-level root (1..k-1)
+    # replay deltas level by level; record ONLY the roots that lose root
+    # status at each level (delta encoding). Driver allocation is O(total
+    # merges), not O(touched labels x levels): a label whose level-(i-1)
+    # root r merged at level i follows r's delta entry, every other label's
+    # root is unchanged — so c_i = coalesce(delta_i[c_{i-1}], c_{i-1})
+    # composes exactly like union-find path compression.
+    level_deltas: list[dict[int, int]] = []
     for i in range(1, k):
+        losers: set[int] = set()
         for a, b in by_level.get(i, ()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -166,21 +174,31 @@ def _components_sweep(
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-        for x in parent:
-            snapshots.setdefault(x, [x] * (k - 1))[i - 1] = find(x)
+            losers.add(rb)
+        level_deltas.append({r: find(r) for r in losers})
 
-    if not snapshots:
+    if not any(level_deltas):
         sel = [F.col("c0").alias(c) for c in cols]
         return lab.select("node", *sel), cols
-    rows = [(x, *roots) for x, roots in snapshots.items()]
-    schema = "c0 long, " + ", ".join(f"m{i} long" for i in range(1, k))
-    map_df = spark.createDataFrame(rows, schema)
-    W = lab.join(F.broadcast(map_df), "c0", "left").select(
-        "node",
-        F.col("c0"),
-        *[F.coalesce(f"m{i}", "c0").alias(f"c{i}") for i in range(1, k)],
-    )
-    return W.transform(truncate_plan), cols
+    W = lab
+    prev = "c0"
+    for i, delta in enumerate(level_deltas, start=1):
+        cur = f"c{i}"
+        if not delta:
+            W = W.withColumn(cur, F.col(prev))
+        else:
+            map_df = spark.createDataFrame(
+                list(delta.items()), f"{prev} long, _m{i} long"
+            )
+            W = (
+                W.join(F.broadcast(map_df), prev, "left")
+                .withColumn(cur, F.coalesce(f"_m{i}", prev))
+                .drop(f"_m{i}")
+            )
+        prev = cur
+        if i % 8 == 0:
+            W = truncate_plan(W)
+    return W.select("node", *cols).transform(truncate_plan), cols
 
 
 def _components_sweep_distributed(
@@ -295,15 +313,20 @@ def rf_metric_cutoffs(
     instead of the reference's per-cutoff recomputation.
     """
     edges = edges.select("src", "dst", "weight").cache()
-    maxw = edges.agg(F.max("weight")).collect()[0][0]
-    cutoff_range = np.arange(maxw, 1, -cutoff_step)
-    if len(cutoff_range) == 0:
-        return []
-    asc = [float(c) for c in cutoff_range[::-1]]
-    W, cols = _components_sweep(edges, asc)
-    W = W.cache()
-    q_by_level = _modularities_all(edges, W, cols, asc)
-    W.unpersist()
+    try:
+        maxw = edges.agg(F.max("weight")).collect()[0][0]
+        cutoff_range = np.arange(maxw, 1, -cutoff_step)
+        if len(cutoff_range) == 0:
+            return []
+        asc = [float(c) for c in cutoff_range[::-1]]
+        W, cols = _components_sweep(edges, asc)
+        W = W.cache()
+        q_by_level = _modularities_all(edges, W, cols, asc)
+        W.unpersist()
+    finally:
+        # repeated sweeps must not accumulate executor storage (same leak
+        # class as the flow loop's cache_registry draining)
+        edges.unpersist()
     k = len(asc)
     # mods aligned with the descending cutoff_range: level k-1-j
     mods = [q_by_level.get(k - 1 - j, 0.0) for j in range(k)]
