@@ -419,11 +419,29 @@ def _q_fingerprint(spark, sf):
     return fingerprint(_docs(spark, sf)).select("doc_id", "text_hash", "min_shingle_hash")
 
 
+_EMB_DIM = 64  # testdata embeddings.parquet dimension (TESTDATA.md)
+
+
 def _q_embedding_dedup(spark, sf):
+    """Scale-default path: LSH-bucketed candidate generation (bits=16 x 4
+    tables), exact-cosine verify, CC clustering. Rows-only driver check;
+    recall vs the exact path is pinned in tests/test_round3_fixes.py."""
     from graphriccicurvature_spark.operators.dedup import embedding_dedup
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return embedding_dedup(emb, threshold=0.95).select("vec_id", "cluster", "is_survivor")
+    return embedding_dedup(emb, threshold=0.95, dim=_EMB_DIM).select(
+        "vec_id", "cluster", "is_survivor"
+    )
+
+
+def _q_embedding_dedup_exact(spark, sf):
+    """Exact all-pairs path (bits=0) — the value-level DuckDB oracle."""
+    from graphriccicurvature_spark.operators.dedup import embedding_dedup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return embedding_dedup(emb, threshold=0.95, bits=0).select(
+        "vec_id", "cluster", "is_survivor"
+    )
 
 
 def _q_ann_brute(spark, sf):
@@ -453,7 +471,7 @@ def _q_ann_lsh(spark, sf):
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
-    return cosine_topk_lsh(emb, queries, k=10, bits=6).select(
+    return cosine_topk_lsh(emb, queries, k=10, bits=6, dim=_EMB_DIM).select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
 
@@ -573,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ricci_community": _q_ricci_community,
         "tpch_supplier_parts": _q_tpch_supplier_parts,
         "embedding_dedup": _q_embedding_dedup,
+        "embedding_dedup_exact": _q_embedding_dedup_exact,
         "ann_cosine_brute": _q_ann_brute,
         "ann_cosine_ivf": _q_ann_ivf,
         "ann_cosine_lsh": _q_ann_lsh,
@@ -1117,7 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE p.p_size <= 25
         GROUP BY n.n_name, p.p_brand
     """
-    sql["embedding_dedup"] = """
+    sql["embedding_dedup_exact"] = """
         WITH RECURSIVE pairs AS (
             SELECT a.vec_id AS src, b.vec_id AS dst
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -10,8 +10,10 @@ state); only representative selection touches per-group data. Four tiers:
               aggregates; exact-signature grouping
 - ngram:      n-gram Jaccard similarity pairs via shared-shingle join
 
-Everything uses built-in functions (xxhash64, transform, aggregate) — the
-one exception is nothing: there are no Python UDFs in this module.
+Everything uses built-in functions (xxhash64, transform, aggregate); the
+high-dim embedding-LSH path scores signatures via an Arrow-batched pandas
+UDF over a broadcast numpy matrix (similarity.lsh_bucket_assigner). There
+are no per-row Python UDFs in this module.
 """
 
 from __future__ import annotations
@@ -220,38 +222,37 @@ def embedding_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    bits: int = 0,
+    bits: int = 16,
     tables: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup clustering: pairs with cosine >= threshold
     form a dup graph; connected components cluster it; min-id survives.
 
-    ``bits=0`` compares all pairs via a broadcast-free self-join on a
-    trivial bucket (exact; small corpora / oracle path). ``bits>0`` buckets
-    by random-hyperplane LSH signatures across ``tables`` tables first —
-    the 100 TB path, where only same-bucket pairs are scored (near-dups at
-    cosine >= 0.95 collide in some table with high probability).
+    The DEFAULT is the scale-safe path (``bits=16, tables=4``): vectors are
+    bucketed by random-hyperplane LSH signatures and only same-bucket pairs
+    are scored — near-dups at cosine >= 0.95 collide in some table with
+    high probability, and a 10^9-vector corpus never sees a quadratic join.
+    ``bits=0`` is the explicit exact option (all-pairs self-join on a
+    trivial bucket; small corpora / the value-level oracle path). ``dim``
+    is required when ``bits > 0`` (the hyperplane model is built at plan
+    time; probing the data for it would cost an extra job).
 
     Returns (id, cluster, is_survivor).
     """
-    from .similarity import lsh_signature, _hyperplanes, _dot, _norm
+    from .similarity import _dot, _hyperplanes, _norm, lsh_bucket_assigner
 
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     v = v.withColumn("_n", _norm(F.col("v")))
     if bits > 0:
-        dim_row = v.select(F.size("v").alias("d")).first()
-        planes = [_hyperplanes(dim_row["d"], bits, 42 + 977 * t) for t in range(tables)]
-        bucketed = v.withColumn(
-            "_tb",
-            F.explode(
-                F.array(
-                    *[
-                        F.concat_ws(":", F.lit(t), lsh_signature(F.col("v"), p))
-                        for t, p in enumerate(planes)
-                    ]
-                )
-            ),
-        )
+        if dim is None:
+            raise ValueError(
+                "embedding_dedup: pass dim=<embedding dimension> for the "
+                "LSH-bucketed path (or bits=0 for the exact all-pairs path)"
+            )
+        planes = [_hyperplanes(dim, bits, 42 + 977 * t) for t in range(tables)]
+        buckets = lsh_bucket_assigner(emb.sparkSession, planes)
+        bucketed = v.withColumn("_tb", F.explode(buckets(F.col("v"))))
     else:
         bucketed = v.withColumn("_tb", F.lit("all"))
     left = bucketed.select("_tb", F.col("id").alias("a"), F.col("v").alias("va"), F.col("_n").alias("na"))

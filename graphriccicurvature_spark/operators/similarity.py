@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -25,6 +26,62 @@ def _norm(a):
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+# Above this many embedded model floats (centroids x dim, or hyperplanes x
+# dim), scoring switches from plan-literal column expressions (codegen, used
+# by the value-level oracles at small dim) to an Arrow-batched pandas UDF
+# over a broadcast numpy matrix: a 768-dim x 16-centroid model would
+# otherwise be a ~12k-literal expression tree evaluated per row (plan bloat,
+# no codegen benefit).
+_LITERAL_MODEL_LIMIT = 4096
+
+
+def _cell_assigner(spark, cents: list, nprobe: int):
+    """Returns ``fn(vec_col) -> array<long>`` of the ``nprobe`` best centroid
+    cell ids by cosine, descending (ties -> smallest cell id).
+
+    ``cents`` is a list of (cell_id, vector). Small models inline as literal
+    expressions; large models broadcast one numpy matrix and score with a
+    single BLAS matmul per Arrow batch.
+    """
+    dim = len(cents[0][1])
+    if len(cents) * dim <= _LITERAL_MODEL_LIMIT:
+
+        def lit_fn(vec):
+            opts = []
+            for cid, c in cents:
+                arr = F.array(*[F.lit(float(x)) for x in c])
+                cn = float(np.linalg.norm(c))
+                cos = _dot(vec, arr) / (_norm(vec) * F.lit(cn))
+                opts.append(F.struct(cos.alias("c"), F.lit(-cid).alias("negid")))
+            ranked = F.slice(F.sort_array(F.array(*opts), False), 1, nprobe)
+            return F.transform(ranked, lambda s: -s["negid"])
+
+        return lit_fn
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    C = np.stack([np.asarray(c[1], dtype=np.float64) for c in cents])
+    norms = np.linalg.norm(C, axis=1)
+    Cn = C / np.where(norms > 0, norms, 1.0)[:, None]
+    b_mat = spark.sparkContext.broadcast(Cn)
+    b_ids = spark.sparkContext.broadcast(cids)
+    np_ = nprobe
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy())
+        # |x| is constant per row: argsort of dot(x, c/|c|) == argsort of
+        # cosine. Stable sort keeps ascending matrix order (= ascending
+        # cell id, cents are sorted) on ties.
+        S = X @ b_mat.value.T
+        order = np.argsort(-S, axis=1, kind="stable")[:, :np_]
+        ids = b_ids.value[order]
+        return pd.Series(list(ids))
+
+    return lambda vec: probe(vec)
 
 
 def cosine_topk_bruteforce(
@@ -83,27 +140,23 @@ def cosine_topk_ivf(
 
     Returns (query_id, vec_id, cosine, rank).
     """
+    spark = corpus.sparkSession
     v = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # seed from the actual first n_centroids rows in id order — sparse or
+    # offset id spaces still yield a full centroid set (round-2 advisory)
     cents = [
         (int(r["vid"]), np.asarray(r["v"], dtype=float))
-        for r in v.filter(F.col("vid") < n_centroids).collect()
+        for r in v.orderBy("vid").limit(n_centroids).collect()
     ]
+    if not cents:
+        raise ValueError("cosine_topk_ivf: corpus is empty, no centroids to seed")
     cents.sort(key=lambda t: t[0])
 
-    def cell_expr(vec, cent_list):
-        # argmax cosine over centroids; ties -> smallest centroid id
-        opts = []
-        for cid, c in cent_list:
-            arr = F.array(*[F.lit(float(x)) for x in c])
-            cn = float(np.linalg.norm(c))
-            cos = _dot(vec, arr) / (_norm(vec) * F.lit(cn))
-            opts.append(F.struct(cos.alias("c"), F.lit(-cid).alias("negid")))
-        return -F.array_max(F.array(*opts))["negid"]
-
     for _ in range(lloyd_iters):
-        assigned = v.withColumn("cell", cell_expr(F.col("v"), cents))
+        assign1 = _cell_assigner(spark, cents, 1)
+        assigned = v.withColumn("cell", assign1(F.col("v"))[0])
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -119,21 +172,13 @@ def cosine_topk_ivf(
         if new_cents:
             cents = sorted(new_cents, key=lambda t: t[0])
 
+    assign1 = _cell_assigner(spark, cents, 1)
     c = (
         with_norm(corpus.withColumn(vec_col, F.col(vec_col).cast("array<double>")), vec_col)
-        .withColumn("cell", cell_expr(F.col(vec_col).cast("array<double>"), cents))
+        .withColumn("cell", assign1(F.col(vec_col).cast("array<double>"))[0])
     )
     # query probe cells: nprobe best centroids, descending cosine
-    probe_arr = F.array(
-        *[
-            F.struct(
-                (_dot(F.col("_qvec"), F.array(*[F.lit(float(x)) for x in cv]))
-                 / (F.col("_qnorm") * F.lit(float(np.linalg.norm(cv))))).alias("c"),
-                F.lit(-cid).alias("negid"),
-            )
-            for cid, cv in cents
-        ]
-    )
+    probe_n = _cell_assigner(spark, cents, nprobe)
     q = (
         with_norm(
             queries.select(
@@ -143,15 +188,7 @@ def cosine_topk_ivf(
             "_qvec",
         )
         .withColumnRenamed("_norm", "_qnorm")
-        .withColumn(
-            "cell",
-            F.explode(
-                F.transform(
-                    F.slice(F.sort_array(probe_arr, False), 1, nprobe),
-                    lambda s: -s["negid"],
-                )
-            ),
-        )
+        .withColumn("cell", F.explode(probe_n(F.col("_qvec"))))
     )
     joined = c.join(F.broadcast(q), "cell")
     sim = joined.select(
@@ -183,6 +220,44 @@ def lsh_signature(vec_col, planes: np.ndarray):
     return sig
 
 
+def lsh_bucket_assigner(spark, all_planes: list):
+    """Returns ``fn(vec_col) -> array<string>`` of "table:signature" bucket
+    keys, one per hash table.
+
+    Small models (tables x bits x dim literals under the plan-size limit)
+    inline as codegen column expressions; large ones broadcast the stacked
+    plane tensor and compute all signatures with one matmul per Arrow batch.
+    """
+    tables = len(all_planes)
+    bits, dim = all_planes[0].shape
+    if tables * bits * dim <= _LITERAL_MODEL_LIMIT:
+
+        def lit_fn(vec):
+            return F.array(
+                *[
+                    F.concat_ws(":", F.lit(t), lsh_signature(vec, p))
+                    for t, p in enumerate(all_planes)
+                ]
+            )
+
+        return lit_fn
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    P = np.concatenate(all_planes, axis=0)  # (tables*bits, dim)
+    b_planes = spark.sparkContext.broadcast(P)
+    shifts = np.int64(1) << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def bucket_keys(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy())
+        D = X @ b_planes.value.T  # (n, tables*bits)
+        sigs = ((D >= 0).astype(np.int64).reshape(len(X), tables, bits) @ shifts)
+        return pd.Series([[f"{t}:{int(s)}" for t, s in enumerate(row)] for row in sigs])
+
+    return lambda vec: bucket_keys(vec)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -198,25 +273,20 @@ def cosine_topk_lsh(
 
     At 100TB the bucket join replaces the full cross product; recall/cost is
     tuned via ``bits`` (bucket selectivity) × ``tables`` (independent hash
-    tables, unioned candidates — the standard LSH recall lever).
+    tables, unioned candidates — the standard LSH recall lever). ``dim`` is
+    required (the hyperplane model is built at plan time; probing the data
+    for it would cost an extra job — round-2 advisory).
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    all_planes = [_hyperplanes(dim, bits, seed + 977 * t) for t in range(tables)]
-
-    def buckets(vec):
-        return F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), lsh_signature(vec, p).alias("b"))
-                for t, p in enumerate(all_planes)
-            ]
+        raise ValueError(
+            "cosine_topk_lsh: pass dim=<embedding dimension> explicitly "
+            "(the array<double> schema does not carry it)"
         )
+    all_planes = [_hyperplanes(dim, bits, seed + 977 * t) for t in range(tables)]
+    buckets = lsh_bucket_assigner(corpus.sparkSession, all_planes)
 
-    c = (
-        with_norm(corpus, vec_col)
-        .withColumn("_tb", F.explode(buckets(F.col(vec_col))))
-        .withColumn("_bucket", F.concat_ws(":", F.col("_tb.t"), F.col("_tb.b")))
-        .drop("_tb")
+    c = with_norm(corpus, vec_col).withColumn(
+        "_bucket", F.explode(buckets(F.col(vec_col)))
     )
     q = (
         with_norm(
@@ -224,9 +294,7 @@ def cosine_topk_lsh(
             "_qvec",
         )
         .withColumnRenamed("_norm", "_qnorm")
-        .withColumn("_tb", F.explode(buckets(F.col("_qvec"))))
-        .withColumn("_bucket", F.concat_ws(":", F.col("_tb.t"), F.col("_tb.b")))
-        .drop("_tb")
+        .withColumn("_bucket", F.explode(buckets(F.col("_qvec"))))
     )
     joined = c.join(F.broadcast(q), "_bucket").dropDuplicates(["query_id", id_col])
     sim = joined.select(

@@ -122,7 +122,7 @@ def test_cosine_topk_lsh_recall(spark):
     )
     q = df.filter(F.col("vec_id") < 5)
     exact = cosine_topk_bruteforce(df, q, k=5)
-    approx = cosine_topk_lsh(df, q, k=5, bits=4, tables=6)
+    approx = cosine_topk_lsh(df, q, k=5, bits=4, tables=6, dim=16)
     ex = {(r.query_id, r.vec_id) for r in exact.collect()}
     ap = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)

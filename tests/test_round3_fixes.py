@@ -2,10 +2,16 @@
 
 1. Sinkhorn size-class bucketing: one hub-size problem in an Arrow batch of
    small ones no longer inflates every padded cost matrix to max_m x max_n.
+2. High-dim ANN: model scoring switches from plan-literal expressions to a
+   broadcast-numpy pandas UDF above _LITERAL_MODEL_LIMIT (no thousand-
+   literal expression trees, no .first() dim probe).
+3. embedding_dedup defaults to the LSH-bucketed scale path; the exact path
+   is opt-in (bits=0) and the bucketed clusters are recall-checked.
 """
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from graphriccicurvature_spark.functions.sinkhorn import (
     pad_problems,
@@ -82,3 +88,123 @@ class TestSinkhornSizeBuckets:
         got = sinkhorn_cost_batch(xs, ys, ds)
         want = np.array([sinkhorn_cost(a, b, M) for a, b, M in zip(xs, ys, ds)])
         np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def _emb_df(spark, n, d, seed=5, n_dups=0):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, d)
+    for i in range(n_dups):
+        # planted near-dups: tiny perturbation of an earlier vector
+        vecs[n - 1 - i] = vecs[i] + 0.01 * rng.randn(d)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        vecs,
+    )
+
+
+class TestHighDimANN:
+    def test_ivf_highdim_udf_path_recall_and_plan_size(self, spark):
+        from graphriccicurvature_spark.operators.similarity import (
+            _LITERAL_MODEL_LIMIT,
+            cosine_topk_bruteforce,
+            cosine_topk_ivf,
+        )
+
+        n, d = 120, 768
+        assert 16 * d > _LITERAL_MODEL_LIMIT  # this fixture takes the UDF path
+        emb, _ = _emb_df(spark, n, d)
+        qs = emb.filter(F.col("vec_id") < 3)
+        approx = cosine_topk_ivf(emb, qs, k=5, n_centroids=16, nprobe=8)
+        plan = approx._jdf.queryExecution().analyzed().toString()
+        # the round-2 literal path embedded ~16x768 float literals per row
+        assert len(plan) < 100_000, len(plan)
+        want = {
+            (r.query_id, r.vec_id) for r in cosine_topk_bruteforce(emb, qs, k=5).collect()
+        }
+        got = {(r.query_id, r.vec_id) for r in approx.collect()}
+        assert len(want & got) / len(want) >= 0.5
+
+    def test_ivf_literal_and_udf_paths_agree(self, spark, monkeypatch):
+        # same fixture through both paths: identical candidate cells means
+        # identical results (ties are measure-zero for gaussian vectors)
+        import graphriccicurvature_spark.operators.similarity as sim
+
+        emb, _ = _emb_df(spark, 80, 16, seed=9)
+        qs = emb.filter(F.col("vec_id") < 3)
+        lit = sim.cosine_topk_ivf(emb, qs, k=5, n_centroids=8, nprobe=4).collect()
+        monkeypatch.setattr(sim, "_LITERAL_MODEL_LIMIT", 1)
+        udf = sim.cosine_topk_ivf(emb, qs, k=5, n_centroids=8, nprobe=4).collect()
+        assert {(r.query_id, r.vec_id, r.rank) for r in lit} == {
+            (r.query_id, r.vec_id, r.rank) for r in udf
+        }
+
+    def test_ivf_sparse_ids_seed_full_centroid_set(self, spark):
+        from graphriccicurvature_spark.operators.similarity import cosine_topk_ivf
+
+        rng = np.random.RandomState(3)
+        # offset, sparse id space: round 2 seeded via vec_id < n_centroids
+        # and silently got ZERO centroids here
+        rows = [(1000 + 7 * i, [float(x) for x in rng.randn(8)]) for i in range(50)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        qs = emb.limit(2)
+        got = cosine_topk_ivf(emb, qs, k=3, n_centroids=4, nprobe=4).collect()
+        assert len(got) > 0
+
+    def test_ivf_empty_corpus_raises(self, spark):
+        from graphriccicurvature_spark.operators.similarity import cosine_topk_ivf
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="no centroids"):
+            cosine_topk_ivf(empty, empty, k=3)
+
+    def test_lsh_requires_dim(self, spark):
+        from graphriccicurvature_spark.operators.similarity import cosine_topk_lsh
+
+        emb, _ = _emb_df(spark, 10, 8)
+        with pytest.raises(ValueError, match="dim"):
+            cosine_topk_lsh(emb, emb, k=3)
+
+    def test_lsh_highdim_udf_path_matches_literal(self, spark, monkeypatch):
+        import graphriccicurvature_spark.operators.similarity as sim
+
+        emb, _ = _emb_df(spark, 60, 24, seed=13)
+        qs = emb.filter(F.col("vec_id") < 3)
+        lit = sim.cosine_topk_lsh(emb, qs, k=5, bits=4, tables=3, dim=24).collect()
+        monkeypatch.setattr(sim, "_LITERAL_MODEL_LIMIT", 1)
+        udf = sim.cosine_topk_lsh(emb, qs, k=5, bits=4, tables=3, dim=24).collect()
+        # identical planes -> identical buckets -> identical candidates
+        assert {(r.query_id, r.vec_id) for r in lit} == {
+            (r.query_id, r.vec_id) for r in udf
+        }
+
+
+class TestEmbeddingDedupDefault:
+    def test_bucketed_default_requires_dim(self, spark):
+        from graphriccicurvature_spark.operators.dedup import embedding_dedup
+
+        emb, _ = _emb_df(spark, 10, 8)
+        with pytest.raises(ValueError, match="dim"):
+            embedding_dedup(emb)
+
+    def test_bucketed_default_recalls_exact_clusters(self, spark):
+        from graphriccicurvature_spark.operators.dedup import embedding_dedup
+
+        emb, _ = _emb_df(spark, 100, 32, seed=21, n_dups=12)
+        exact = {
+            (r.vec_id, r.cluster)
+            for r in embedding_dedup(emb, threshold=0.95, bits=0).collect()
+        }
+        lsh = {
+            (r.vec_id, r.cluster)
+            for r in embedding_dedup(emb, threshold=0.95, dim=32).collect()
+        }
+        # every exact non-singleton pair is a near-identical vector
+        # (cos >= 0.95): the 16-bit x 4-table LSH must recover most of them
+        exact_clustered = {t for t in exact if t[0] != t[1]}
+        lsh_clustered = {t for t in lsh if t[0] != t[1]}
+        assert len(exact_clustered) >= 10  # the planted dups actually cluster
+        recall = len(exact_clustered & lsh_clustered) / len(exact_clustered)
+        assert recall >= 0.5, (recall, len(exact_clustered), len(lsh_clustered))
+        # and the LSH path never invents pairs (verify is exact cosine)
+        assert lsh_clustered <= exact_clustered
