@@ -97,11 +97,17 @@ def minhash_lsh_candidates(
 
     ``bucket_cap`` bounds the quadratic blowup of mega-buckets (boilerplate
     duplicates at web scale): a bucket with more than ``bucket_cap`` members
-    emits *star* pairs only — every member against the bucket-min id —
-    which is O(B) instead of O(B^2) and preserves the connected-components
-    clustering downstream (the star keeps the bucket connected). Buckets at
-    or under the cap emit all pairs exactly as before, so small-scale
-    results are unchanged.
+    emits O(B) pairs instead of O(B^2) — a *star* (every member against the
+    bucket-min id) plus a *signature-sorted chain* (each member against its
+    predecessor in full-MinHash-signature order, so members whose texts are
+    near-identical — equal or adjacent signatures — stay connected through
+    pairs that actually survive the downstream Jaccard verify). This is a
+    RECALL APPROXIMATION of the exact all-pairs candidate set: the
+    *candidate* graph of a mega-bucket stays connected, but after
+    verification a cluster can split if its members' only surviving links
+    were capped away (members far apart in signature order and below
+    threshold vs the bucket-min). Buckets at or under the cap emit all
+    pairs exactly as before, so small-scale results are unchanged.
     """
     rows_per_band = num_perm // bands
     # single-file inputs arrive as one partition; _hashed_shingle_docs
@@ -119,8 +125,8 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    buckets = docs.select("id", F.explode(band_structs).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    buckets = docs.select("id", "sig", F.explode(band_structs).alias("bb")).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     bw = Window.partitionBy("band", "bucket")
     b2 = buckets.withColumn("_bn", F.count("*").over(bw)).withColumn(
@@ -134,12 +140,25 @@ def minhash_lsh_candidates(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
     )
+    big = b2.filter(F.col("_bn") > bucket_cap)
     # mega-bucket star pairs: representative chaining through the min id
     star_pairs = (
-        b2.filter((F.col("_bn") > bucket_cap) & (F.col("id") != F.col("_bmin")))
+        big.filter(F.col("id") != F.col("_bmin"))
         .select(F.col("_bmin").alias("a"), F.col("id").alias("b"))
     )
-    return all_pairs.union(star_pairs).distinct()
+    # mega-bucket chain pairs: consecutive members in (signature, id) order.
+    # Near-identical texts have equal (or lexicographically adjacent)
+    # MinHash signatures, so identical-signature runs form a verified path
+    # even when they all fail the Jaccard test against the bucket-min doc.
+    cw = Window.partitionBy("band", "bucket").orderBy("sig", "id")
+    chain_pairs = (
+        big.withColumn("_prev", F.lag("id").over(cw))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.least("_prev", "id").alias("a"), F.greatest("_prev", "id").alias("b")
+        )
+    )
+    return all_pairs.union(star_pairs).union(chain_pairs).distinct()
 
 
 def minhash_dedup(
@@ -176,6 +195,82 @@ def minhash_dedup(
     # dup graphs are sparse relative to the corpus: hybrid CC collects
     # small pair sets into a driver union-find (one job) and falls back to
     # the distributed fixpoint above its cap
+    clusters = connected_components_hybrid(verified, vertices=all_ids)
+    return clusters.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+    )
+
+
+def minhash_md5_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """md5-twin of :func:`minhash_dedup` with a full value-level SQL oracle.
+
+    Permutation ``p``'s minimum is the lexicographic min of
+    ``md5(p || ':' || shingle)`` hex strings over the doc's word-shingle
+    set, band buckets are ``md5(band || '|' || joined sig slice)``, and the
+    pipeline is the same sig -> band buckets -> candidate pairs ->
+    exact-Jaccard verify -> connected components -> min-id survivor as the
+    production operator — every step reproducible bit-for-bit in ANSI SQL
+    (DuckDB ``md5``), so the *clustering algorithm* itself sits under a
+    value-level oracle (the production operator's xxhash64/arithmetic
+    permutations are not SQL-expressible and get a rows-only check). No
+    mega-bucket cap: the oracle path is exact all-pairs within buckets.
+
+    Returns (id, cluster, is_survivor).
+    """
+    rpb = num_perm // bands
+    sh = word_shingles(F.col(text_col), shingle_k)
+    docs = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("id"), F.array_distinct(sh).alias("shset"))
+        .filter(F.size("shset") > 0)
+    )
+
+    def perm_min(p):
+        pre = f"{p}:"
+        return F.array_min(
+            F.transform(F.col("shset"), lambda s: F.md5(F.concat(F.lit(pre), s)))
+        )
+
+    sigd = docs.withColumn("sig", F.array(*[perm_min(p) for p in range(num_perm)]))
+    bkts = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}|"),
+                    F.concat_ws(",", *[F.col("sig")[b * rpb + r] for r in range(rpb)]),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    bu = sigd.select("id", F.explode(bkts).alias("bucket"))
+    cands = (
+        bu.alias("x")
+        .join(bu.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    verified = (
+        cands.join(docs.select(F.col("id").alias("a"), F.col("shset").alias("sa")), "a")
+        .join(docs.select(F.col("id").alias("b"), F.col("shset").alias("sb")), "b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("uni", F.size(F.array_union("sa", "sb")))
+        .filter(F.col("uni") > 0)
+        .filter(F.col("inter") / F.col("uni") >= jaccard_threshold)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    all_ids = df.select(F.col(id_col).alias("node"))
     clusters = connected_components_hybrid(verified, vertices=all_ids)
     return clusters.select(
         F.col("node").alias(id_col),

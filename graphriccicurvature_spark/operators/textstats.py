@@ -110,28 +110,31 @@ def word_shingles(text_col, k: int = 3) -> Column:
 def shingle_hashes(text_col, k: int = 3) -> Column:
     """Word k-gram shingle hashes WITHOUT building shingle strings.
 
-    Tokens are hashed once (xxhash64), then each shingle hash is an
-    order-sensitive arithmetic combination of k consecutive token hashes —
-    one pass over the token array instead of per-shingle slice+concat
-    string building (the dominant cost of the string path at scale).
-    31-bit masks keep every product under 2^62 (ANSI long arithmetic).
-    Collision quality is ample for candidate generation; exact verification
-    downstream never trusts these hashes alone.
+    Tokens are hashed once (xxhash64, full 64 bits), then each shingle hash
+    is an order-sensitive combination of the k consecutive token hashes via
+    per-position bit rotations + XOR — one pass over the token array
+    instead of per-shingle slice+concat string building (the dominant cost
+    of the string path at scale). Bitwise rotate/XOR never overflows under
+    ANSI long arithmetic, keeps the full 64-bit entropy of each token hash
+    (distinct shingles collide with ~2^-64 probability, comparable to
+    xxhash64 over shingle strings), and distinct rotations make the
+    combination order-sensitive. Downstream exact-Jaccard verification
+    operates on sets of these hashes, so reported similarity values are
+    exact over the hashed shingle space.
     """
-    mask = (1 << 31) - 1
-    muls = [1000003, 8191, 127, 31, 7, 3, 257, 8209]  # k <= 8 supported
+    rots = [13, 29, 41, 7, 23, 53, 3, 47]  # per-position rotation, k <= 8
     toks = tokens(text_col)
-    ht = F.transform(toks, lambda t: F.xxhash64(t).bitwiseAND(F.lit(mask)))
+    ht = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(ht)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
 
     def comb(i):
-        parts = [
-            F.element_at(ht, i + F.lit(j + 1)) * F.lit(muls[j]) for j in range(k)
-        ]
-        s = parts[0]
-        for p in parts[1:]:
-            s = s + p
+        s = None
+        for j in range(k):
+            h = F.element_at(ht, i + F.lit(j + 1))
+            r = rots[j]
+            rot = F.shiftleft(h, r).bitwiseOR(F.shiftrightunsigned(h, 64 - r))
+            s = rot if s is None else s.bitwiseXOR(rot)
         return s
 
     return F.when(n < k, F.array().cast("array<bigint>")).otherwise(

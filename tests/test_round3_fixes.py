@@ -208,3 +208,76 @@ class TestEmbeddingDedupDefault:
         assert recall >= 0.5, (recall, len(exact_clustered), len(lsh_clustered))
         # and the LSH path never invents pairs (verify is exact cosine)
         assert lsh_clustered <= exact_clustered
+
+
+class TestMinhashChaining:
+    def _doc_df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_mega_bucket_emits_sig_sorted_chain_pairs(self, spark):
+        from graphriccicurvature_spark.operators.dedup import minhash_lsh_candidates
+
+        # 12 identical docs, cap 4: every band bucket is a mega bucket.
+        # Star-only (round 2) emitted only (0, j); the chain must now also
+        # link consecutive members in signature order — identical texts have
+        # identical signatures, so the run 1-2-...-11 stays connected via
+        # pairs that pass the Jaccard verify (J=1), not just via doc 0.
+        docs = self._doc_df(spark, ["the same boilerplate text again ok"] * 12)
+        got = {
+            (r.a, r.b)
+            for r in minhash_lsh_candidates(docs, bucket_cap=4).collect()
+        }
+        star = {(0, j) for j in range(1, 12)}
+        chain = {(i, i + 1) for i in range(11)}
+        assert star <= got
+        assert chain <= got
+        # O(B) bound holds: star + chain only, no quadratic blowup
+        assert len(got) < 3 * 12
+
+    def test_under_cap_bucket_pairs_unchanged(self, spark):
+        from graphriccicurvature_spark.operators.dedup import minhash_lsh_candidates
+
+        docs = self._doc_df(spark, ["alpha beta gamma delta words here"] * 5)
+        got = {
+            (r.a, r.b)
+            for r in minhash_lsh_candidates(docs, bucket_cap=64).collect()
+        }
+        assert got == {(i, j) for i in range(5) for j in range(i + 1, 5)}
+
+    def test_minhash_dedup_clusters_identical_docs(self, spark):
+        from graphriccicurvature_spark.operators.dedup import minhash_dedup
+
+        texts = ["one two three four five six seven eight"] * 6 + [
+            "totally different content nine ten eleven twelve"
+        ] * 3
+        got = {
+            r.doc_id: r.cluster for r in minhash_dedup(self._doc_df(spark, texts)).collect()
+        }
+        assert {got[i] for i in range(6)} == {0}
+        assert {got[i] for i in range(6, 9)} == {6}
+
+
+class TestShingleHashQuality:
+    def test_order_sensitive_and_distinct(self, spark):
+        from graphriccicurvature_spark.operators.textstats import shingle_hashes
+
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "c b a"), (2, "a b d"), (3, "b a c")],
+            "doc_id long, text string",
+        )
+        rows = df.select("doc_id", shingle_hashes(F.col("text"), 3).alias("h")).collect()
+        hashes = {r.doc_id: tuple(r.h) for r in rows}
+        assert all(len(v) == 1 for v in hashes.values())
+        # 4 distinct shingles -> 4 distinct 64-bit rotation-XOR hashes
+        assert len({v[0] for v in hashes.values()}) == 4
+
+    def test_repeated_token_shingles_distinct(self, spark):
+        from graphriccicurvature_spark.operators.textstats import shingle_hashes
+
+        df = spark.createDataFrame(
+            [(0, "x x y"), (1, "x y x"), (2, "y x x")], "doc_id long, text string"
+        )
+        rows = df.select(shingle_hashes(F.col("text"), 3).alias("h")).collect()
+        assert len({tuple(r.h)[0] for r in rows}) == 3
