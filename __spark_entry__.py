@@ -220,6 +220,21 @@ def _q_ricci_flow(spark, sf):
     )
 
 
+def _q_ricci_flow_ego(spark, sf):
+    """Flow loop iterating over EGO-mode curvature — the configuration a
+    100 TB user actually runs (VERDICT r2 item 2). Rows-only check; exact
+    parity vs component mode is pinned on an ego-exact fixture in
+    tests/test_round3_fixes.py."""
+    from graphriccicurvature_spark.operators.flow import ricci_flow
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    out = ricci_flow(und, iterations=2, method="OTDSinkhornMix", alpha=0.5, mode="ego")
+    return out.select(
+        "src", "dst", F.round("weight", 6).alias("weight"),
+        F.round("ricci_curvature", 6).alias("ricci_curvature"),
+    )
+
+
 def _q_dedup_exact(spark, sf):
     from graphriccicurvature_spark.operators.dedup import exact_dedup
 
@@ -580,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ollivier_otd_ego": _q_ollivier_otd,
         "ollivier_exact": _q_ollivier_exact,
         "ricci_flow_2": _q_ricci_flow,
+        "ricci_flow_2_ego": _q_ricci_flow_ego,
         "dedup_exact": _q_dedup_exact,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_md5": _q_minhash_md5,

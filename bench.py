@@ -113,11 +113,51 @@ def run_bench(spark) -> dict:
     )
     queries["ann_cosine_brute"] = t
 
+    # flagship flow loop (VERDICT r2 item 7): seconds/round + rounds-to-
+    # converge for ego mode (the 100 TB configuration) at SF_DIR, capped at
+    # 8 rounds; component (exact/parity) mode is measured at sf0.01 because
+    # its giant-component APSP is O(n^3) in the largest component — exactly
+    # why ego mode is the scale path.
+    from graphriccicurvature_spark.operators.flow import ricci_flow
+
+    ego_rs: list = []
+    t, _ = _time(
+        lambda: ricci_flow(
+            und, iterations=8, delta=1e-4, mode="ego", round_stats=ego_rs
+        ).count(),
+        trials=1,
+    )
+    queries["ricci_flow_ego_to_8rounds"] = t
+    flow = {
+        "ego_rounds": len(ego_rs),
+        "ego_sec_per_round": round(
+            sum(r["secs"] for r in ego_rs) / max(len(ego_rs), 1), 3
+        ),
+        "ego_final_kappa_diff": round(ego_rs[-1]["kappa_diff"], 6) if ego_rs else None,
+        "ego_converged": bool(ego_rs and ego_rs[-1]["kappa_diff"] < 1e-4),
+    }
+
+    comp_rs: list = []
+    und001 = canonicalize(
+        edges_from_documents(spark, SF_DIR.replace("sf0.1", "sf0.01"))
+    )
+    t, _ = _time(
+        lambda: ricci_flow(
+            und001, iterations=2, mode="component", round_stats=comp_rs
+        ).count(),
+        trials=1,
+    )
+    queries["ricci_flow_component_2rounds_sf001"] = t
+    flow["component_sec_per_round_sf001"] = round(
+        sum(r["secs"] for r in comp_rs) / max(len(comp_rs), 1), 3
+    )
+
     return {
         "n_edges_directed": n_edges,
         "n_edges_undirected": n_und,
         "ollivier_edges_per_sec": ollivier_eps,
         "pagerank_sec_per_iter": pr_sec_per_iter,
+        "ricci_flow": flow,
         "queries": queries,
     }
 
@@ -176,6 +216,7 @@ def main():
         "trials": TRIALS,
         "pagerank_sec_per_iter": round(result["pagerank_sec_per_iter"], 3),
         "n_edges": result["n_edges_undirected"],
+        "ricci_flow": result["ricci_flow"],
         "queries": {k: round(v, 3) for k, v in result["queries"].items()},
     }
 

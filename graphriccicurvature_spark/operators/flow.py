@@ -79,13 +79,17 @@ def ricci_flow(
     exp_power: float = 2.0,
     nbr_topk: int = 3000,
     mode: str = "component",
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Run Ricci flow; returns edges with ``weight`` (the flow metric),
     ``ricci_curvature`` and ``original_rc`` columns.
 
     Input must be an undirected canonical edge table (src < dst). If
     ``checkpoint_dir`` is given, every round is persisted with metrics and a
-    restarted call resumes from the latest complete round.
+    restarted call resumes from the latest complete round. ``round_stats``
+    (optional caller-provided list) receives one dict per executed round
+    ``{"round", "secs", "kappa_diff"}`` — bench.py uses it to report
+    seconds/round and rounds-to-converge for the flow loop.
     """
     spark = edges.sparkSession
     curv_kwargs = dict(
@@ -174,6 +178,10 @@ def ricci_flow(
         next_sumw = stats["next_sumw"]
         _drain_caches(caches)
         diff = stats["kmax"] - stats["kmin"]
+        if round_stats is not None:
+            round_stats.append(
+                {"round": i, "secs": time.time() - t0, "kappa_diff": diff}
+            )
         if verbose:
             print(
                 f"[ricci_flow] round={i} secs={time.time() - t0:.2f} "
