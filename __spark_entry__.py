@@ -437,6 +437,17 @@ def _q_ricci_community(spark, sf):
     return clustering.select("node", "component")
 
 
+def _q_ricci_community_ego(spark, sf):
+    """Community pipeline with the flow loop in EGO mode — flow, cutoff
+    sweep and clustering all on the scale path (VERDICT r2 item 2)."""
+    from graphriccicurvature_spark.operators.community import ricci_community
+    from graphriccicurvature_spark.sources.edges import clustered_edges_from_documents
+
+    und = canonicalize(clustered_edges_from_documents(spark, sf))
+    _cut, clustering = ricci_community(und, flow_kwargs={"mode": "ego"})
+    return clustering.select("node", "component")
+
+
 def _q_fingerprint(spark, sf):
     from graphriccicurvature_spark.operators.textstats import fingerprint
 
@@ -615,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ollivier_atd_weighted": _q_ollivier_atd_weighted,
         "ollivier_sinkhorn_ego": _q_ollivier_sinkhorn,
         "ricci_community": _q_ricci_community,
+        "ricci_community_ego": _q_ricci_community_ego,
         "tpch_supplier_parts": _q_tpch_supplier_parts,
         "embedding_dedup": _q_embedding_dedup,
         "embedding_dedup_exact": _q_embedding_dedup_exact,
