@@ -448,6 +448,29 @@ def _q_ricci_community_ego(spark, sf):
     return clustering.select("node", "component")
 
 
+def _q_check_accuracy(spark, sf):
+    """SURVEY O19 data semantics (reference my_surgery.check_accuracy,
+    my_surgery.py:95-161): per-cutoff (modularity, ARI) sweep table on
+    deterministic sevenths weights with a node%4 ground truth — fully
+    value-level SQL-reproducible (per-level CC + modularity + pair-counting
+    ARI); plot rendering stays out of engine scope."""
+    from graphriccicurvature_spark.operators.community import check_accuracy_table
+
+    und = canonicalize(edges_from_documents(spark, sf)).withColumn(
+        "weight",
+        F.lit(1.0) + ((F.col("src") * 7 + F.col("dst") * 13) % 10).cast("double") / F.lit(7.0),
+    )
+    gt = _docs(spark, sf).select(
+        F.col("doc_id").alias("node"), (F.col("doc_id") % 4).alias("label")
+    )
+    t = check_accuracy_table(und, gt, cutoff_step=0.25)
+    return t.select(
+        F.round("cutoff", 6).alias("cutoff"),
+        F.round("modularity", 6).alias("modularity"),
+        F.round("ari", 6).alias("ari"),
+    )
+
+
 def _q_fingerprint(spark, sf):
     from graphriccicurvature_spark.operators.textstats import fingerprint
 
@@ -627,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ollivier_sinkhorn_ego": _q_ollivier_sinkhorn,
         "ricci_community": _q_ricci_community,
         "ricci_community_ego": _q_ricci_community_ego,
+        "check_accuracy_sweep": _q_check_accuracy,
         "tpch_supplier_parts": _q_tpch_supplier_parts,
         "embedding_dedup": _q_embedding_dedup,
         "embedding_dedup_exact": _q_embedding_dedup_exact,
@@ -1215,6 +1239,108 @@ def oracle_sql() -> dict[str, str]:
         FROM sums s
         JOIN pred_cnt pc ON pc.node = s.u
         JOIN succ_cnt sc ON sc.node = s.v
+    """
+    # O19 sweep table: 6 cutoffs (maxw = 1+9/7 at every sf, step -0.25,
+    # same start + i*step float expression as np.arange), per-level CC via
+    # min-label recursion run to a provably-converged depth, modularity and
+    # pair-counting ARI per level — all three metrics for all levels in
+    # set-based SQL mirroring the fused Spark sweep.
+    sql["check_accuracy_sweep"] = f"""
+        WITH RECURSIVE {_E},
+        undw AS (
+            SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM edges
+        ),
+        we AS (
+            SELECT src, dst,
+                   1.0 + CAST((src * 7 + dst * 13) % 10 AS DOUBLE) / 7.0 AS w
+            FROM undw
+        ),
+        lev AS (
+            SELECT lvl, (SELECT max(w) FROM we) + lvl * (-0.25) AS cutoff
+            FROM (VALUES (0), (1), (2), (3), (4), (5)) t(lvl)
+        ),
+        cnodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM we UNION ALL SELECT dst FROM we
+            )
+        ),
+        lsym AS (SELECT l.lvl, e.src, e.dst FROM we e JOIN lev l ON e.w <= l.cutoff),
+        symself AS (
+            SELECT lvl, src, dst FROM lsym
+            UNION SELECT lvl, dst AS src, src AS dst FROM lsym
+            UNION SELECT l.lvl, n.node AS src, n.node AS dst FROM lev l CROSS JOIN cnodes n
+        ),
+        lab(iter, lvl, node, label) AS (
+            SELECT 0, l.lvl, n.node, n.node FROM lev l CROSS JOIN cnodes n
+            UNION ALL
+            SELECT l.iter + 1, s.lvl, s.dst AS node, min(l.label) AS label
+            FROM lab l JOIN symself s ON s.lvl = l.lvl AND s.src = l.node
+            WHERE l.iter < 40
+            GROUP BY l.iter, s.lvl, s.dst
+        ),
+        fin AS (SELECT lvl, node, label FROM lab WHERE iter = 40),
+        ecut AS (SELECT l.lvl, e.src, e.dst, e.w FROM we e JOIN lev l ON e.w <= l.cutoff),
+        contrib AS (
+            SELECT c.lvl, fs.label AS comm, c.w AS weight,
+                   CASE WHEN fs.label = fd.label THEN c.w ELSE 0.0 END AS win
+            FROM ecut c
+            JOIN fin fs ON fs.lvl = c.lvl AND fs.node = c.src
+            JOIN fin fd ON fd.lvl = c.lvl AND fd.node = c.dst
+            UNION ALL
+            SELECT c.lvl, fd.label AS comm, c.w AS weight, 0.0 AS win
+            FROM ecut c
+            JOIN fin fs ON fs.lvl = c.lvl AND fs.node = c.src
+            JOIN fin fd ON fd.lvl = c.lvl AND fd.node = c.dst
+        ),
+        qagg AS (
+            SELECT lvl, sum(deg_c) AS sumdeg, sum(win_c) AS win_tot,
+                   sum(deg_c * deg_c) AS sumdeg2
+            FROM (
+                SELECT lvl, comm, sum(weight) AS deg_c, sum(win) AS win_c
+                FROM contrib GROUP BY lvl, comm
+            ) GROUP BY lvl
+        ),
+        q AS (
+            SELECT lvl,
+                   CASE WHEN coalesce(sumdeg, 0) = 0 THEN 0.0
+                        ELSE win_tot / (sumdeg / 2.0)
+                             - sumdeg2 / (4.0 * (sumdeg / 2.0) * (sumdeg / 2.0))
+                   END AS modularity
+            FROM qagg
+        ),
+        g AS (SELECT node, node % 4 AS gl FROM cnodes),
+        lvg AS (SELECT f.lvl, f.label AS c, g.gl FROM fin f JOIN g ON g.node = f.node),
+        nij AS (
+            SELECT lvl, sum(n * (n - 1) / 2.0) AS sum_ij FROM (
+                SELECT lvl, c, gl, count(*) AS n FROM lvg GROUP BY lvl, c, gl
+            ) GROUP BY lvl
+        ),
+        aai AS (
+            SELECT lvl, sum(n * (n - 1) / 2.0) AS a_i FROM (
+                SELECT lvl, c, count(*) AS n FROM lvg GROUP BY lvl, c
+            ) GROUP BY lvl
+        ),
+        bbj AS (
+            SELECT lvl, sum(n * (n - 1) / 2.0) AS b_j FROM (
+                SELECT lvl, gl, count(*) AS n FROM lvg GROUP BY lvl, gl
+            ) GROUP BY lvl
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM cnodes),
+        ari AS (
+            SELECT i.lvl,
+                   CASE WHEN (a.a_i + b.b_j) / 2.0 = a.a_i * b.b_j / ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1) / 2.0)
+                        THEN 1.0
+                        ELSE (i.sum_ij - a.a_i * b.b_j / ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1) / 2.0))
+                             / ((a.a_i + b.b_j) / 2.0 - a.a_i * b.b_j / ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1) / 2.0))
+                   END AS ari
+            FROM nij i JOIN aai a ON a.lvl = i.lvl JOIN bbj b ON b.lvl = i.lvl
+        )
+        SELECT round(l.cutoff, 6) AS cutoff,
+               round(coalesce(q.modularity, 0.0), 6) AS modularity,
+               round(coalesce(ari.ari, 0.0), 6) AS ari
+        FROM lev l
+        LEFT JOIN q ON q.lvl = l.lvl
+        LEFT JOIN ari ON ari.lvl = l.lvl
     """
     sql["tpch_supplier_parts"] = """
         SELECT n.n_name, p.p_brand,

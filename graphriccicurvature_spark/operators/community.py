@@ -341,6 +341,116 @@ def rf_metric_cutoffs(
     return good_cuts
 
 
+def check_accuracy_table(
+    edges: DataFrame,
+    gt: DataFrame,
+    cutoff_step: float = 0.025,
+    gt_node_col: str = "node",
+    gt_label_col: str = "label",
+) -> DataFrame:
+    """Per-cutoff (cutoff, modularity, ari) sweep table — the DATA behind
+    reference ``my_surgery.check_accuracy``'s modularity/ARI plot
+    (my_surgery.py:95-161); plot rendering itself is out of engine scope.
+
+    ``gt`` is the ground-truth partition (node, label) — the reference's
+    ``clustering_label`` node attribute. Cutoffs run from max(weight) down
+    to 1 in ``cutoff_step`` steps, clustering = connected components of the
+    cut graph, exactly like the reference loop — but computed with the
+    fused ascending sweep: one full CC + delta contractions, ONE
+    all-cutoff modularity job, and ONE all-cutoff ARI contingency
+    aggregation over the wide label table (three shuffling jobs total,
+    constant in the number of cutoffs, vs the reference's per-cutoff
+    recomputation).
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "weight").cache()
+    try:
+        maxw = e.agg(F.max("weight")).collect()[0][0]
+        cutoff_range = np.arange(maxw, 1, -cutoff_step)
+        if len(cutoff_range) == 0:
+            return spark.createDataFrame(
+                [], "cutoff double, modularity double, ari double"
+            )
+        asc = [float(c) for c in cutoff_range[::-1]]
+        all_nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        W, cols = _components_sweep(e, asc, vertices=all_nodes)
+        W = W.cache()
+        q_by_level = _modularities_all(e, W, cols, asc)
+
+        # ARI for ALL cutoff levels in one aggregation: explode each node's
+        # per-level cluster label against its ground-truth label, build the
+        # (level, cluster, gt) contingency, and reduce the three comb2 sums
+        # per level (pair-counting ARI, reference my_surgery.py:8-51).
+        j = W.join(
+            gt.select(
+                F.col(gt_node_col).alias("node"), F.col(gt_label_col).alias("g")
+            ),
+            "node",
+        )
+        lv = j.select(
+            "g",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("i"), F.col(c).alias("c"))
+                        for i, c in enumerate(cols)
+                    ]
+                )
+            ).alias("t"),
+        ).select(F.col("t.i").alias("i"), F.col("t.c").alias("c"), "g")
+
+        def comb2(col):
+            return F.sum(col * (col - 1) / 2)
+
+        nij = (
+            lv.groupBy("i", "c", "g")
+            .agg(F.count("*").alias("n"))
+            .groupBy("i")
+            .agg(comb2(F.col("n")).alias("sum_ij"))
+        )
+        ai = (
+            lv.groupBy("i", "c")
+            .agg(F.count("*").alias("n"))
+            .groupBy("i")
+            .agg(comb2(F.col("n")).alias("a_i"))
+        )
+        bj = (
+            lv.groupBy("i", "g")
+            .agg(F.count("*").alias("n"))
+            .groupBy("i")
+            .agg(comb2(F.col("n")).alias("b_j"))
+        )
+        n_nodes = j.count()
+        n_pairs = n_nodes * (n_nodes - 1) / 2
+        ari_rows = nij.join(ai, "i").join(bj, "i").collect()
+        ari_by_level = {}
+        for r in ari_rows:
+            expected = r["a_i"] * r["b_j"] / n_pairs if n_pairs else 0.0
+            max_index = (r["a_i"] + r["b_j"]) / 2.0
+            ari_by_level[r["i"]] = (
+                1.0
+                if max_index == expected
+                else (r["sum_ij"] - expected) / (max_index - expected)
+            )
+        W.unpersist()
+    finally:
+        e.unpersist()
+    k = len(asc)
+    rows = [
+        (
+            float(cutoff_range[jj]),
+            float(q_by_level.get(k - 1 - jj, 0.0)),
+            float(ari_by_level.get(k - 1 - jj, 0.0)),
+        )
+        for jj in range(k)
+    ]
+    return spark.createDataFrame(rows, "cutoff double, modularity double, ari double")
+
+
 def ricci_community_all_possible_clusterings(
     edges: DataFrame,
     cutoff_step: float = 0.025,

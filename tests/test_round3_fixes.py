@@ -403,3 +403,46 @@ class TestOrganicMixDispatch:
         assert len(mix) == 1 and len(forced) == 1
         assert np.isfinite(mix[0].ricci_curvature)
         assert abs(mix[0].ricci_curvature - forced[0].ricci_curvature) < 1e-12
+
+
+class TestCheckAccuracyTable:
+    def test_matches_from_scratch_modularity_and_ari(self, spark):
+        """SURVEY O19 data semantics (reference my_surgery.py:95-161): the
+        fused (cutoff, modularity, ari) sweep table must equal per-cutoff
+        from-scratch CC + modularity + pair-counting ARI."""
+        import networkx as nx
+
+        from graphriccicurvature_spark.operators.community import (
+            check_accuracy_table,
+            cut_graph_by_cutoff,
+            modularity,
+        )
+        from graphriccicurvature_spark.operators.components import connected_components
+        from graphriccicurvature_spark.operators.flow import ricci_flow
+        from graphriccicurvature_spark.operators.surgery import adjusted_rand_index
+        from graphriccicurvature_spark.sources.edges import make_edges
+
+        G = nx.karate_club_graph()
+        gt_map = {n: G.nodes[n]["club"] for n in G.nodes()}
+        gt = spark.createDataFrame(list(gt_map.items()), "node long, label string")
+        flowed = ricci_flow(
+            make_edges(spark, list(G.edges())), iterations=3, method="OTD", alpha=0.5
+        ).cache()
+        table = {
+            round(r.cutoff, 9): (r.modularity, r.ari)
+            for r in check_accuracy_table(flowed, gt).collect()
+        }
+        assert len(table) > 10
+        # spot-check three cutoffs (largest, middle, smallest) from scratch
+        cuts = sorted(table)
+        all_nodes = gt.select("node")
+        for cut in (cuts[0], cuts[len(cuts) // 2], cuts[-1]):
+            sub = cut_graph_by_cutoff(flowed, cut)
+            part = connected_components(sub, vertices=all_nodes)
+            want_q = modularity(sub, part)
+            pred = {r.node: r.component for r in part.collect()}
+            want_ari = adjusted_rand_index(gt_map, pred)
+            got_q, got_ari = table[round(cut, 9)]
+            assert abs(got_q - want_q) < 1e-9, cut
+            assert abs(got_ari - want_ari) < 1e-9, cut
+        flowed.unpersist()
