@@ -221,8 +221,12 @@ def main():
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        lo, hi = (
+            int(x)
+            for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
+        )
         res = {}
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
                 capture_output=True,
@@ -230,23 +234,55 @@ def main():
                 env={
                     **os.environ,
                     "SPARK_GRAFT_SCALING": "0",
-                    # headroom for 32 concurrent Arrow streams on the x4 graph
+                    # headroom for `hi` concurrent Arrow streams on the x4 graph
                     "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
                 },
             )
             res[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
         out["scaling"] = {
-            "dense_n_edges": res[32]["n_edges"],
-            "curvature_local8_secs": round(res[8]["curvature_secs"], 3),
-            "curvature_local32_secs": round(res[32]["curvature_secs"], 3),
-            "curvature_efficiency_8_to_32": round(
-                (res[8]["curvature_secs"] / res[32]["curvature_secs"]) / 4.0, 3
+            "dense_n_edges": res[hi]["n_edges"],
+            "cores": [lo, hi],
+            f"curvature_local{lo}_secs": round(res[lo]["curvature_secs"], 3),
+            f"curvature_local{hi}_secs": round(res[hi]["curvature_secs"], 3),
+            "curvature_efficiency": round(
+                (res[lo]["curvature_secs"] / res[hi]["curvature_secs"]) / (hi / lo), 3
             ),
-            "pagerank_local8_secs": round(res[8]["pagerank_secs"], 3),
-            "pagerank_local32_secs": round(res[32]["pagerank_secs"], 3),
+            f"pagerank_local{lo}_secs": round(res[lo]["pagerank_secs"], 3),
+            f"pagerank_local{hi}_secs": round(res[hi]["pagerank_secs"], 3),
+            # guest-visible CPUs != deliverable parallel capacity on a shared
+            # VM host; this pure-python probe records how many cores the box
+            # actually sustains at `hi`-wide so an efficiency reading below
+            # the host cap is attributable (effective/lo/(hi/lo) is the
+            # physical ceiling of the measurement, independent of Spark).
+            "effective_cores_probe": _effective_cores(hi),
         }
 
     print(json.dumps(out))
+
+
+def _effective_cores(width: int) -> float:
+    """Measured parallel capacity: `width` spin workers vs 4 workers doing
+    identical per-worker CPU-bound work; capacity = width / wall-ratio."""
+    import multiprocessing as mp
+
+    iters = 20_000_000
+    with mp.Pool(4) as p:  # warm forks + a 4-wide reference (always real)
+        p.map(_spin, [iters // 10] * 4)
+        t0 = time.time()
+        p.map(_spin, [iters] * 4)
+        t4 = time.time() - t0
+    with mp.Pool(width) as p:
+        t0 = time.time()
+        p.map(_spin, [iters] * width)
+        tw = time.time() - t0
+    return round(width / (tw / t4), 1)
+
+
+def _spin(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
 
 
 if __name__ == "__main__":
