@@ -9,9 +9,14 @@ physical strategies, same math (functions/localgraph.py kernels):
   (OllivierRicci.py:157-158) bit-for-bit; parity/fixture path. Distributed
   across components; bounded by the largest component's size.
 - ``mode="ego"`` — web-scale: 2-hop ego-net gather via self-joins on the
-  edge table, *CSR-blocked by source vertex*: all eval edges of one src are
-  gathered into one block so each member's adjacency row ships once per
-  block instead of once per incident edge. Distances are computed inside
+  edge table. Eval edges are *CSR-blocked by source vertex* (all eval edges
+  of one src chunk share one block) and blocks are assigned to partitions;
+  each partition's DISTINCT member set then demands every adjacency row
+  ONCE per partition, and blocks meet their members' adjacency in a
+  cogrouped ``applyInArrow`` call (round 3 — replaces the round-2
+  explode-join-collect_list gather, whose per-block adjacency join pushed
+  ~90x the adjacency bytes through an ObjectHashAggregate and burned ~27%
+  of the box JVM-side during the solve). Distances are computed inside
   the per-edge induced member subgraph. Every source/target-neighbor arc is
   injected explicitly from the already-gathered support weights and
   (undirected) the local matrix is symmetrized, so support-to-support
@@ -307,24 +312,49 @@ def _ego_mode(
         F.coalesce("s_nbrs", _empty_l()).alias("s_nbrs"),
         F.coalesce("s_ws", _empty_d()).alias("s_ws"),
     )
-    # members of the block: src, its support, every target and its support
-    members = e1.select(
-        "src",
-        "_blk",
-        F.explode(
-            F.array_distinct(
-                F.concat(
-                    F.array("src"),
-                    F.col("s_nbrs"),
-                    F.flatten(
-                        F.transform(
-                            "targets",
-                            lambda t: F.concat(F.array(t["dst"]), t["t_nbrs"]),
-                        )
-                    ),
+    # --- cogrouped member-adjacency delivery (round 3) ---------------------
+    # Round 2 exploded one row per (block, member), joined the fat adjacency
+    # arrays onto all ~members-per-block of them and collect_list'ed the
+    # result back into a nested per-block column: on the dense bench graph
+    # that pushes ~90x the adjacency bytes through the join + an
+    # ObjectHashAggregate, and the JVM side burned ~27% of the box during
+    # the solve (measured, scripts/measure_scaling_phases.py). Instead,
+    # blocks are assigned a partition id and each partition's DISTINCT
+    # member set demands every adjacency row ONCE per partition; the blocks
+    # and the demanded adjacency meet in a cogrouped Arrow call, and the
+    # kernel resolves members against the partition-level CSR. Fat bytes
+    # shuffled drop by the blocks-per-partition sharing factor, and the
+    # collect_list materialization disappears entirely.
+    e1 = e1.withColumn(
+        "_pid", F.pmod(F.xxhash64("src", "_blk"), F.lit(n_part)).cast("int")
+    )
+    # the demand branch recomputes _pid from (src, _blk) rather than reusing
+    # e1's column: the cogroup below would otherwise see the same attribute
+    # on both sides of a self-referencing lineage (ambiguous-column error)
+    demand = (
+        e1.select(
+            "src",
+            "_blk",
+            F.explode(
+                F.array_distinct(
+                    F.concat(
+                        F.array("src"),
+                        F.col("s_nbrs"),
+                        F.flatten(
+                            F.transform(
+                                "targets",
+                                lambda t: F.concat(F.array(t["dst"]), t["t_nbrs"]),
+                            )
+                        ),
+                    )
                 )
-            )
-        ).alias("member"),
+            ).alias("member"),
+        )
+        .select(
+            F.pmod(F.xxhash64("src", "_blk"), F.lit(n_part)).cast("int").alias("_pid"),
+            "member",
+        )
+        .distinct()
     )
     adj_member = adj_out.select(
         F.col("node").alias("member"),
@@ -333,24 +363,19 @@ def _ego_mode(
     )
     if salt and salt > 1:
         # explicit hub-skew salting: replicate each adjacency row across
-        # `salt` buckets; each (block, member) demand lands in one bucket
+        # `salt` buckets; each (partition, member) demand lands in one
+        # bucket (demand is already capped at n_part rows per member, so
+        # this is a belt-and-suspenders knob for extreme hubs)
         adj_member = adj_member.withColumn(
             "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
         )
-        members = members.withColumn(
-            "_salt", F.pmod(F.xxhash64("src", "_blk"), F.lit(salt)).cast("int")
+        demand = demand.withColumn(
+            "_salt", F.pmod(F.xxhash64("_pid", "member"), F.lit(salt)).cast("int")
         )
-        mem_adj = members.join(adj_member, ["member", "_salt"], "left").drop("_salt")
+        adj_need = demand.join(adj_member, ["member", "_salt"]).drop("_salt")
     else:
-        mem_adj = members.join(adj_member, "member", "left")
-    gathered = mem_adj.groupBy("src", "_blk").agg(
-        F.collect_list("member").alias("members"),
-        F.collect_list(F.coalesce("m_nbrs", _empty_l())).alias("members_nbrs"),
-        F.collect_list(F.coalesce("m_ws", _empty_d())).alias("members_ws"),
-    )
-    full = e1.join(gathered, ["src", "_blk"]).select(
-        "src", "targets", "s_nbrs", "s_ws", "members", "members_nbrs", "members_ws",
-    )
+        adj_need = demand.join(adj_member, "member")
+    adj_need = adj_need.select("_pid", "member", "m_nbrs", "m_ws")
 
     params = dict(
         directed=directed,
@@ -363,13 +388,26 @@ def _ego_mode(
         otd_sinkhorn_threshold=otd_sinkhorn_threshold,
     )
 
-    def solve(batches):
-        for rb in batches:
-            yield _solve_ego_arrow(rb, **params)
+    def solve(left, right):
+        return _solve_ego_cogroup(left, right, **params)
 
-    # mapInArrow: nested list columns stay as flat Arrow buffers
-    # (values + offsets) — no per-row python object materialization.
-    return full.mapInArrow(solve, _RESULT_SCHEMA)
+    # cogrouped applyInArrow: each partition's blocks meet its deduplicated
+    # member adjacency as flat Arrow buffers — no per-row python object
+    # materialization, no nested collect_list on the JVM side. Both sides
+    # are explicitly repartitioned by _pid at n_part FIRST: the cogroup's
+    # own exchange would otherwise run at spark.sql.shuffle.partitions
+    # (often ~#cores), materializing and sorting GB-sized partitions; with
+    # the numbered repartition the cogroup reuses the n_part partitioning
+    # (no extra exchange) and each sort handles ~one pid of data.
+    left = e1.select("src", "_blk", "_pid", "targets", "s_nbrs", "s_ws").repartition(
+        n_part, "_pid"
+    )
+    right = adj_need.repartition(n_part, "_pid")
+    return (
+        left.groupby("_pid")
+        .cogroup(right.groupby("_pid"))
+        .applyInArrow(solve, _RESULT_SCHEMA)
+    )
 
 
 def _flat_list(col):
@@ -408,8 +446,9 @@ def _clamp_nonfinite(d: np.ndarray, fallback: float) -> np.ndarray:
     return d
 
 
-def _solve_ego_arrow(
-    rb,
+def _solve_ego_cogroup(
+    left,
+    right,
     *,
     directed: bool,
     alpha: float,
@@ -420,24 +459,34 @@ def _solve_ego_arrow(
     sinkhorn_reg: float,
     otd_sinkhorn_threshold: int = OTD_SINKHORN_THRESHOLD,
 ):
-    """Per-Arrow-batch CSR-blocked ego solve on flat list buffers.
+    """Per-partition cogrouped ego solve on flat Arrow buffers.
 
-    One input row = one (src, chunk) block holding all that chunk's eval
-    edges plus the union of their members' adjacency (shipped once per
-    block). Per edge, the local dense weight matrix is sliced out of the
-    block CSR with vectorized searchsorted scatter, source/target support
-    arcs are injected from the gathered support weights, (undirected) the
-    matrix is symmetrized, distances via native Floyd-Warshall, and all
-    exact-OT / Sinkhorn problems of the batch go out in ONE batched call
-    each.
+    ``left`` is one partition's blocks (src, _blk, _pid, targets, s_nbrs,
+    s_ws); ``right`` is that partition's DISTINCT member adjacency
+    (member, m_nbrs, m_ws) — each member's arrays present once per
+    partition instead of once per block. The member rows form a
+    partition-level CSR; per eval edge the local dense weight matrix is
+    sliced out of it with vectorized searchsorted scatter, source/target
+    support arcs are injected from the gathered support weights,
+    (undirected) the matrix is symmetrized, distances via native
+    Floyd-Warshall, and all exact-OT / Sinkhorn problems of the partition
+    go out in ONE batched call each.
     """
     import pyarrow as pa
 
-    n_rows = rb.num_rows
-    src = rb.column(rb.schema.get_field_index("src")).to_numpy()
+    n_rows = left.num_rows
+    if n_rows == 0:
+        return pa.table(
+            {
+                "src": pa.array([], type=pa.int64()),
+                "dst": pa.array([], type=pa.int64()),
+                "ricci_curvature": pa.array([], type=pa.float64()),
+            }
+        )
+    src = left.column("src").to_numpy()
 
     # targets: list<struct<dst, weight, t_nbrs, t_ws>>
-    tcol = rb.column(rb.schema.get_field_index("targets"))
+    tcol = left.column("targets")
     if isinstance(tcol, pa.ChunkedArray):
         tcol = tcol.combine_chunks()
     t_off = tcol.offsets.to_numpy()
@@ -449,21 +498,28 @@ def _solve_ego_arrow(
     tw_off, tw_vals_arr = _flat_list(t_struct.field("t_ws"))
     tw_vals = tw_vals_arr.to_numpy()
 
-    s_off, s_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("s_nbrs")))
+    s_off, s_vals_arr = _flat_list(left.column("s_nbrs"))
     s_vals = s_vals_arr.to_numpy()
-    sw_off, sw_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("s_ws")))
+    sw_off, sw_vals_arr = _flat_list(left.column("s_ws"))
     sw_vals = sw_vals_arr.to_numpy()
 
-    mem_off, mem_vals_arr = _flat_list(rb.column(rb.schema.get_field_index("members")))
-    mem_vals = mem_vals_arr.to_numpy()
-    # nested list<list<T>>: outer offsets align with members (one inner list
-    # per member); inner offsets/values are the flat adjacency buffers
-    nb_outer_off, nb_inner = _flat_list(rb.column(rb.schema.get_field_index("members_nbrs")))
-    nb_inner_off, nb_vals_arr = _flat_list(nb_inner)
-    nb_vals = nb_vals_arr.to_numpy()
-    ws_outer_off, ws_inner = _flat_list(rb.column(rb.schema.get_field_index("members_ws")))
-    ws_inner_off, ws_vals_arr = _flat_list(ws_inner)
-    ws_vals = ws_vals_arr.to_numpy()
+    # partition-level CSR: sorted member ids -> adjacency row bounds
+    mem = right.column("member").to_numpy() if right.num_rows else np.empty(0, np.int64)
+    if right.num_rows:
+        nb_off, nb_vals_arr = _flat_list(right.column("m_nbrs"))
+        nb_vals = nb_vals_arr.to_numpy()
+        ws_off, ws_vals_arr = _flat_list(right.column("m_ws"))
+        ws_vals = ws_vals_arr.to_numpy()
+    else:  # a partition whose members all lack out-adjacency (directed sinks)
+        nb_off = np.zeros(1, dtype=np.int64)
+        nb_vals = np.empty(0, dtype=np.int64)
+        ws_off = np.zeros(1, dtype=np.int64)
+        ws_vals = np.empty(0, dtype=np.float64)
+    order = np.argsort(mem, kind="stable")
+    sm = mem[order]
+    row_start = nb_off[:-1][order] if len(mem) else np.empty(0, np.int64)
+    row_len = (nb_off[1:] - nb_off[:-1])[order] if len(mem) else np.empty(0, np.int64)
+    wrow_start = ws_off[:-1][order] if len(mem) else np.empty(0, np.int64)
 
     n_edges = len(t_dst)
     out_src = np.empty(n_edges, dtype=np.int64)
@@ -480,20 +536,40 @@ def _solve_ego_arrow(
     sk_d: list[np.ndarray] = []
 
     for r in range(n_rows):
-        bmembers = mem_vals[mem_off[r] : mem_off[r + 1]]
-        order = np.argsort(bmembers, kind="stable")
-        sm = bmembers[order]
-        # block CSR row bounds (absolute into nb_vals / ws_vals), in the
-        # *original* collect_list order — order[] maps sorted pos -> row
-        m0, m1 = nb_outer_off[r], nb_outer_off[r + 1]
-        row_start = nb_inner_off[m0 : m1 + 1]
-        wrow_start = ws_inner_off[ws_outer_off[r] : ws_outer_off[r] + (m1 - m0) + 1]
-
         s_nb = s_vals[s_off[r] : s_off[r + 1]]
         s_w = sw_vals[sw_off[r] : sw_off[r + 1]]
         s_id = src[r]
 
-        for k in range(int(t_off[r]), int(t_off[r + 1])):
+        # compact block-local CSR: gather every member row this block can
+        # touch ONCE from the partition buffers (cold, tens of MB) into a
+        # contiguous ~L2-resident buffer; the per-edge loop then gathers
+        # from the compact copy. Without this, every edge re-reads ~its ego
+        # net from random partition-buffer offsets — measured +35% python
+        # CPU from cache misses on the dense bench graph.
+        k0, k1 = int(t_off[r]), int(t_off[r + 1])
+        t_all = tn_vals[tn_off[k0] : tn_off[k1]]
+        bm = np.unique(
+            np.concatenate((np.array([s_id]), s_nb, t_dst[k0:k1], t_all))
+        )
+        nbm = len(bm)
+        if len(sm):
+            pos = np.searchsorted(sm, bm)
+            pos_c = np.minimum(pos, len(sm) - 1)
+            found = sm[pos_c] == bm
+            starts = np.where(found, row_start[pos_c], 0)
+            lens = np.where(found, row_len[pos_c], 0)
+            wstarts = np.where(found, wrow_start[pos_c], 0)
+        else:
+            starts = np.zeros(nbm, dtype=np.int64)
+            lens = starts
+            wstarts = starts
+        flat_b = _gather_rows(starts, lens)
+        nb_blk = nb_vals[flat_b]
+        ws_blk = ws_vals[flat_b + np.repeat(wstarts - starts, lens)]
+        # compact row offsets: member bm[i] owns nb_blk[blk_off[i]:blk_off[i+1]]
+        blk_off = np.concatenate(([0], np.cumsum(lens)))
+
+        for k in range(k0, k1):
             out_src[k] = s_id
             w_st = float(t_w[k])
             if w_st < EPSILON:  # reference :316-320
@@ -520,21 +596,20 @@ def _solve_ego_arrow(
             perm[pmask] = np.arange(n - 2)
             perm[si_s] = n - 2
             perm[ti_s] = n - 1
-            # block rows of each em member (em ⊆ block members by construction)
-            bi = order[np.searchsorted(sm, em)]
-            starts = row_start[bi]
-            lens = row_start[bi + 1] - starts
-            flat = _gather_rows(starts, lens)
-            nbr_block = nb_vals[flat]
-            # ws rows have identical lengths; reuse the same flat indices
-            # shifted by the per-row offset delta
-            w_block = ws_vals[flat + np.repeat(wrow_start[bi] - starts, lens)]
-            local_rows = np.repeat(perm, lens)
-            pos = np.searchsorted(em, nbr_block)
-            pos_c = np.minimum(pos, n - 1)
-            valid = em[pos_c] == nbr_block
+            # em ⊆ bm by construction; a member absent from the adjacency
+            # table (directed sink) has an empty compact row
+            bi = np.searchsorted(bm, em)
+            starts_e = blk_off[bi]
+            lens_e = blk_off[bi + 1] - starts_e
+            flat = _gather_rows(starts_e, lens_e)
+            nbr_block = nb_blk[flat]
+            w_block = ws_blk[flat]
+            local_rows = np.repeat(perm, lens_e)
+            posn = np.searchsorted(em, nbr_block)
+            posn_c = np.minimum(posn, n - 1)
+            valid = em[posn_c] == nbr_block
             W = np.full((n, n), np.inf)
-            np.minimum.at(W, (local_rows[valid], perm[pos_c[valid]]), w_block[valid])
+            np.minimum.at(W, (local_rows[valid], perm[posn_c[valid]]), w_block[valid])
 
             si = n - 2
             ti = n - 1
@@ -568,12 +643,12 @@ def _solve_ego_arrow(
                     method == "OTDSinkhornMix"
                     and len(x) > otd_sinkhorn_threshold
                     and len(y) > otd_sinkhorn_threshold
-                ):  # deferred — batched Sinkhorn per Arrow batch (north star)
+                ):  # deferred — batched Sinkhorn per cogroup call (north star)
                     sk_idx.append(k)
                     sk_x.append(x)
                     sk_y.append(y)
                     sk_d.append(d)
-                else:  # deferred — batched exact OT per Arrow batch
+                else:  # deferred — batched exact OT per cogroup call
                     emd_idx.append(k)
                     emd_x.append(x)
                     emd_y.append(y)
@@ -586,9 +661,12 @@ def _solve_ego_arrow(
         ms = sinkhorn_cost_batch(sk_x, sk_y, sk_d, reg=sinkhorn_reg)
         idx = np.asarray(sk_idx, dtype=np.int64)
         out[idx] = 1.0 - ms / out_w[idx]
-    return pa.RecordBatch.from_arrays(
-        [pa.array(out_src), pa.array(out_dst), pa.array(out)],
-        names=["src", "dst", "ricci_curvature"],
+    return pa.table(
+        {
+            "src": pa.array(out_src),
+            "dst": pa.array(out_dst),
+            "ricci_curvature": pa.array(out),
+        }
     )
 
 
