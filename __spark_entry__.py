@@ -1260,8 +1260,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0), (1), (2), (3), (4), (5)) t(lvl)
         ),
         cnodes AS (
+            -- edge endpoints UNION ground-truth nodes: an isolated labeled
+            -- node enters the clustering as a singleton (reference
+            -- check_accuracy clusters every node carrying clustering_label)
             SELECT DISTINCT node FROM (
                 SELECT src AS node FROM we UNION ALL SELECT dst FROM we
+                UNION ALL SELECT doc_id FROM documents
             )
         ),
         lsym AS (SELECT l.lvl, e.src, e.dst FROM we e JOIN lev l ON e.w <= l.cutoff),

@@ -140,20 +140,27 @@ def run_bench(spark) -> dict:
         "ego_converged": bool(ego_rs and ego_rs[-1]["kappa_diff"] < 1e-4),
     }
 
-    comp_rs: list = []
-    und001 = canonicalize(
-        edges_from_documents(spark, SF_DIR.replace("sf0.1", "sf0.01"))
+    # component-mode flow is O(n^3) in the largest component, so it is
+    # always measured at the explicit SMALL dir — never derived from SF_DIR
+    # by string surgery, which silently no-ops for custom paths (ADVICE r3)
+    small_dir = os.environ.get(
+        "SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01"
     )
-    t, _ = _time(
-        lambda: ricci_flow(
-            und001, iterations=2, mode="component", round_stats=comp_rs
-        ).count(),
-        trials=1,
-    )
-    queries["ricci_flow_component_2rounds_sf001"] = t
-    flow["component_sec_per_round_sf001"] = round(
-        sum(r["secs"] for r in comp_rs) / max(len(comp_rs), 1), 3
-    )
+    if os.path.isdir(small_dir):
+        comp_rs: list = []
+        und001 = canonicalize(edges_from_documents(spark, small_dir))
+        t, _ = _time(
+            lambda: ricci_flow(
+                und001, iterations=2, mode="component", round_stats=comp_rs
+            ).count(),
+            trials=1,
+        )
+        queries["ricci_flow_component_2rounds_sf001"] = t
+        flow["component_sec_per_round_sf001"] = round(
+            sum(r["secs"] for r in comp_rs) / max(len(comp_rs), 1), 3
+        )
+    else:
+        flow["component_sec_per_round_sf001"] = None
 
     return {
         "n_edges_directed": n_edges,

@@ -313,6 +313,7 @@ def rf_metric_cutoffs(
     instead of the reference's per-cutoff recomputation.
     """
     edges = edges.select("src", "dst", "weight").cache()
+    W = None
     try:
         maxw = edges.agg(F.max("weight")).collect()[0][0]
         cutoff_range = np.arange(maxw, 1, -cutoff_step)
@@ -322,10 +323,13 @@ def rf_metric_cutoffs(
         W, cols = _components_sweep(edges, asc)
         W = W.cache()
         q_by_level = _modularities_all(edges, W, cols, asc)
-        W.unpersist()
     finally:
         # repeated sweeps must not accumulate executor storage (same leak
-        # class as the flow loop's cache_registry draining)
+        # class as the flow loop's cache_registry draining); W unpersists
+        # here too so a raise inside the modularity job can't leak the
+        # cached wide label table (ADVICE r3)
+        if W is not None:
+            W.unpersist()
         edges.unpersist()
     k = len(asc)
     # mods aligned with the descending cutoff_range: level k-1-j
@@ -364,6 +368,7 @@ def check_accuracy_table(
     """
     spark = edges.sparkSession
     e = edges.select("src", "dst", "weight").cache()
+    W = None
     try:
         maxw = e.agg(F.max("weight")).collect()[0][0]
         cutoff_range = np.arange(maxw, 1, -cutoff_step)
@@ -372,9 +377,14 @@ def check_accuracy_table(
                 [], "cutoff double, modularity double, ari double"
             )
         asc = [float(c) for c in cutoff_range[::-1]]
+        # vertices include ground-truth nodes with no incident edges: the
+        # reference's check_accuracy clusters every node carrying
+        # clustering_label, so an isolated labeled node must enter the ARI
+        # contingency as a singleton component (ADVICE r3)
         all_nodes = (
             e.select(F.col("src").alias("node"))
             .union(e.select(F.col("dst").alias("node")))
+            .union(gt.select(F.col(gt_node_col).alias("node")))
             .distinct()
         )
         W, cols = _components_sweep(e, asc, vertices=all_nodes)
@@ -410,7 +420,9 @@ def check_accuracy_table(
             lv.groupBy("i", "c", "g")
             .agg(F.count("*").alias("n"))
             .groupBy("i")
-            .agg(comb2(F.col("n")).alias("sum_ij"))
+            # sum(n) per level = |gt-joined nodes|, so n_pairs rides this
+            # aggregation instead of a separate j.count() job
+            .agg(comb2(F.col("n")).alias("sum_ij"), F.sum("n").alias("n_nodes"))
         )
         ai = (
             lv.groupBy("i", "c")
@@ -424,11 +436,10 @@ def check_accuracy_table(
             .groupBy("i")
             .agg(comb2(F.col("n")).alias("b_j"))
         )
-        n_nodes = j.count()
-        n_pairs = n_nodes * (n_nodes - 1) / 2
         ari_rows = nij.join(ai, "i").join(bj, "i").collect()
         ari_by_level = {}
         for r in ari_rows:
+            n_pairs = r["n_nodes"] * (r["n_nodes"] - 1) / 2
             expected = r["a_i"] * r["b_j"] / n_pairs if n_pairs else 0.0
             max_index = (r["a_i"] + r["b_j"]) / 2.0
             ari_by_level[r["i"]] = (
@@ -436,8 +447,11 @@ def check_accuracy_table(
                 if max_index == expected
                 else (r["sum_ij"] - expected) / (max_index - expected)
             )
-        W.unpersist()
     finally:
+        # W unpersists on every exit path — a raise inside the modularity /
+        # ARI jobs must not leak the cached wide label table (ADVICE r3)
+        if W is not None:
+            W.unpersist()
         e.unpersist()
     k = len(asc)
     rows = [

@@ -57,19 +57,29 @@ def _minhash_signature(shingle_hashes, num_perm: int, seed: int = 42):
     Permutation p: h_p(x) = (a_p * x + b_p) mod 2^31-1 with fixed (a_p, b_p)
     derived deterministically from the seed. 31-bit constants keep the
     product under 2^63 (ANSI-mode long arithmetic never overflows).
+
+    All ``num_perm`` minima are folded in ONE ``aggregate()`` pass over the
+    shingle array (accumulator = running-min vector, element step =
+    ``zip_with(acc, perms(x), least)``) instead of ``num_perm`` separate
+    ``transform`` + ``array_min`` traversals, each of which materialized a
+    fresh permuted copy of the array (VERDICT r3 item 4 — the minhash
+    regression was allocation, not arithmetic).
     """
-    def perm_fn(a, b):
-        def apply(x):
-            return (F.lit(a) * (x.bitwiseAND(F.lit(_MERSENNE))) + F.lit(b)) % F.lit(_MERSENNE)
-
-        return apply
-
-    sigs = []
+    params = []
     for p in range(num_perm):
         a = (seed * 1000003 + p * 2654435761 + 1) % (_MERSENNE - 1) + 1
         b = (seed * 999983 + p * 40503 + 7) % _MERSENNE
-        sigs.append(F.array_min(F.transform(shingle_hashes, perm_fn(a, b))))
-    return F.array(*sigs)
+        params.append((a, b))
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm)
+
+    def step(acc, x):
+        xm = x.bitwiseAND(F.lit(_MERSENNE))
+        perms = F.array(
+            *[(F.lit(a) * xm + F.lit(b)) % F.lit(_MERSENNE) for a, b in params]
+        )
+        return F.zip_with(acc, perms, lambda u, v: F.least(u, v))
+
+    return F.aggregate(shingle_hashes, init, step)
 
 
 def _hashed_shingle_docs(
@@ -99,9 +109,15 @@ def minhash_lsh_candidates(
     duplicates at web scale): a bucket with more than ``bucket_cap`` members
     emits O(B) pairs instead of O(B^2) — a *star* (every member against the
     bucket-min id) plus a *signature-sorted chain* (each member against its
-    predecessor in full-MinHash-signature order, so members whose texts are
-    near-identical — equal or adjacent signatures — stay connected through
-    pairs that actually survive the downstream Jaccard verify). This is a
+    predecessor in MinHash-signature-hash order, so members whose texts are
+    near-identical — equal signatures — stay adjacent and connected through
+    pairs that actually survive the downstream Jaccard verify). The chain
+    orders by a compact 8-byte ``xxhash64(sig)`` key rather than the full
+    ``num_perm``-long signature: the band explode and its two window
+    shuffles then never carry signature bytes (a per-row payload of
+    ``bands x num_perm x 8`` bytes on the scale path), and identical
+    signatures — the runs the chain exists to connect — still sort
+    adjacent. This is a
     RECALL APPROXIMATION of the exact all-pairs candidate set: the
     *candidate* graph of a mega-bucket stays connected, but after
     verification a cluster can split if its members' only surviving links
@@ -125,8 +141,12 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    buckets = docs.select("id", "sig", F.explode(band_structs).alias("bb")).select(
-        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # compact signature order key: the full sig array never enters the
+    # explode / window / pair shuffles (ADVICE r3 — shuffle-payload cut)
+    buckets = docs.select(
+        "id", F.xxhash64("sig").alias("_ok"), F.explode(band_structs).alias("bb")
+    ).select(
+        "id", "_ok", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     bw = Window.partitionBy("band", "bucket")
     b2 = buckets.withColumn("_bn", F.count("*").over(bw)).withColumn(
@@ -146,11 +166,11 @@ def minhash_lsh_candidates(
         big.filter(F.col("id") != F.col("_bmin"))
         .select(F.col("_bmin").alias("a"), F.col("id").alias("b"))
     )
-    # mega-bucket chain pairs: consecutive members in (signature, id) order.
-    # Near-identical texts have equal (or lexicographically adjacent)
-    # MinHash signatures, so identical-signature runs form a verified path
-    # even when they all fail the Jaccard test against the bucket-min doc.
-    cw = Window.partitionBy("band", "bucket").orderBy("sig", "id")
+    # mega-bucket chain pairs: consecutive members in (sig-hash, id) order.
+    # Near-identical texts have equal MinHash signatures (equal hashes), so
+    # identical-signature runs form a verified path even when they all fail
+    # the Jaccard test against the bucket-min doc.
+    cw = Window.partitionBy("band", "bucket").orderBy("_ok", "id")
     chain_pairs = (
         big.withColumn("_prev", F.lag("id").over(cw))
         .filter(F.col("_prev").isNotNull())

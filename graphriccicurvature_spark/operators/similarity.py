@@ -72,7 +72,18 @@ def _cell_assigner(spark, cents: list, nprobe: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def probe(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy())
+        if len(v) == 0:  # zero-row Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
+        try:
+            X = np.stack(v.to_numpy())
+        except ValueError as exc:
+            raise ValueError(
+                f"ragged or null vector in embedding batch (expected dim {dim})"
+            ) from exc
+        if X.ndim != 2 or X.shape[1] != dim:
+            raise ValueError(
+                f"embedding dim mismatch: got {X.shape[1:]}, expected dim {dim}"
+            )
         # |x| is constant per row: argsort of dot(x, c/|c|) == argsort of
         # cosine. Stable sort keeps ascending matrix order (= ascending
         # cell id, cents are sorted) on ties.
@@ -250,7 +261,18 @@ def lsh_bucket_assigner(spark, all_planes: list):
 
     @F.pandas_udf(ArrayType(StringType()))
     def bucket_keys(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy())
+        if len(v) == 0:  # zero-row Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
+        try:
+            X = np.stack(v.to_numpy())
+        except ValueError as exc:
+            raise ValueError(
+                f"ragged or null vector in embedding batch (expected dim {dim})"
+            ) from exc
+        if X.ndim != 2 or X.shape[1] != dim:
+            raise ValueError(
+                f"embedding dim mismatch: got {X.shape[1:]}, expected dim {dim}"
+            )
         D = X @ b_planes.value.T  # (n, tables*bits)
         sigs = ((D >= 0).astype(np.int64).reshape(len(X), tables, bits) @ shifts)
         return pd.Series([[f"{t}:{int(s)}" for t, s in enumerate(row)] for row in sigs])
