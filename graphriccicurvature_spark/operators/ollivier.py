@@ -90,6 +90,7 @@ def ricci_curvature_edges(
     salt: int | None = None,
     cache_registry: list | None = None,
     otd_sinkhorn_threshold: int = OTD_SINKHORN_THRESHOLD,
+    component_size_limit: int | None = 10_000,
 ) -> DataFrame:
     """Returns ``(src, dst, ricci_curvature)`` for the requested edges.
 
@@ -107,6 +108,16 @@ def ricci_curvature_edges(
     operator appends its cached intermediate DataFrames to; iterative
     callers (the flow loop) unpersist them after materializing each round
     so executor storage doesn't accumulate across rounds.
+
+    ``component_size_limit`` guards ``mode="component"``: that mode gathers
+    each whole component into ONE task and runs O(n^3) APSP on it, so a
+    user pointing it at a web-scale graph would silently plan one giant
+    straggler task. When the largest component exceeds the limit the call
+    auto-switches to ``mode="ego"`` (the scale path) with a warning; pass
+    ``None`` to disable (e.g. exact-parity runs on graphs you know).
+    The check reuses the CC pass component mode needs anyway and is
+    skipped when the caller supplies ``components`` (iterative callers —
+    the flow loop — validate once and reuse the table every round).
     """
     assert mode in ("component", "ego")
     edges = prepare_edges(edges)
@@ -116,6 +127,30 @@ def ricci_curvature_edges(
             F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
         )
     if mode == "component":
+        if components is None and component_size_limit is not None:
+            und = canonicalize(edges.select("src", "dst", "weight"))
+            components = connected_components(und)
+            biggest = (
+                components.groupBy("component")
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            if biggest is not None and biggest > component_size_limit:
+                warnings.warn(
+                    f"ricci_curvature_edges(mode='component'): largest "
+                    f"component has {biggest} nodes (> component_size_limit="
+                    f"{component_size_limit}); component mode solves each "
+                    f"component as ONE O(n^3)-APSP task. Auto-switching to "
+                    f"mode='ego' (the scale path); pass "
+                    f"component_size_limit=None to force component mode.",
+                    RuntimeWarning,
+                )
+                return _ego_mode(
+                    edges, directed, alpha, method, base, exp_power, nbr_topk,
+                    edge_list, sinkhorn_reg, salt, cache_registry,
+                    otd_sinkhorn_threshold,
+                )
         return _component_mode(
             edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg,
             components, otd_sinkhorn_threshold,
