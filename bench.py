@@ -140,6 +140,35 @@ def run_bench(spark) -> dict:
         "ego_converged": bool(ego_rs and ego_rs[-1]["kappa_diff"] < 1e-4),
     }
 
+    # converging flow fixture (VERDICT r3 #7): the F2 link graph never
+    # converges (wide curvature spread — honest non-convergence above), so
+    # rounds-to-converge needs a graph where the flow's OWN stopping rule
+    # fires: equal cliques ring-chained by bridges + the reference surgery
+    # hook. Flow stretches the community-boundary edges, surgery cuts
+    # them, and the surviving equal cliques have identical edge curvature
+    # -> kappa_diff hits exactly 0 before the 30-round cap.
+    from graphriccicurvature_spark.operators.surgery import surgery as _surgery
+    from graphriccicurvature_spark.sources.edges import clique_chain_edges
+
+    conv_rs: list = []
+    conv_edges = clique_chain_edges(spark, n_cliques=20, clique_size=12)
+    t, _ = _time(
+        lambda: ricci_flow(
+            conv_edges, iterations=30, delta=1e-4, mode="ego",
+            surgery=_surgery, surgery_every=5, round_stats=conv_rs,
+        ).count(),
+        trials=1,
+    )
+    queries["ricci_flow_clique_surgery"] = t
+    flow["clique_rounds"] = len(conv_rs)
+    flow["clique_sec_per_round"] = round(
+        sum(r["secs"] for r in conv_rs) / max(len(conv_rs), 1), 3
+    )
+    flow["clique_final_kappa_diff"] = (
+        round(conv_rs[-1]["kappa_diff"], 6) if conv_rs else None
+    )
+    flow["converged"] = bool(conv_rs and conv_rs[-1]["kappa_diff"] < 1e-4)
+
     # component-mode flow is O(n^3) in the largest component, so it is
     # always measured at the explicit SMALL dir — never derived from SF_DIR
     # by string surgery, which silently no-ops for custom paths (ADVICE r3)
@@ -230,44 +259,82 @@ def main():
         "queries": {k: round(v, 3) for k, v in result["queries"].items()},
     }
 
-    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        lo, hi = (
-            int(x)
-            for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16").split(",")
-        )
-        res = {}
-        for cpus in (lo, hi):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
-                capture_output=True,
-                text=True,
-                env={
-                    **os.environ,
-                    "SPARK_GRAFT_SCALING": "0",
-                    # headroom for `hi` concurrent Arrow streams on the x4 graph
-                    "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
-                },
-            )
-            res[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
-        out["scaling"] = {
-            "dense_n_edges": res[hi]["n_edges"],
-            "cores": [lo, hi],
-            f"curvature_local{lo}_secs": round(res[lo]["curvature_secs"], 3),
-            f"curvature_local{hi}_secs": round(res[hi]["curvature_secs"], 3),
-            "curvature_efficiency": round(
-                (res[lo]["curvature_secs"] / res[hi]["curvature_secs"]) / (hi / lo), 3
-            ),
-            f"pagerank_local{lo}_secs": round(res[lo]["pagerank_secs"], 3),
-            f"pagerank_local{hi}_secs": round(res[hi]["pagerank_secs"], 3),
-            # guest-visible CPUs != deliverable parallel capacity on a shared
-            # VM host; this pure-python probe records how many cores the box
-            # actually sustains at `hi`-wide so an efficiency reading below
-            # the host cap is attributable (effective/lo/(hi/lo) is the
-            # physical ceiling of the measurement, independent of Spark).
-            "effective_cores_probe": _effective_cores(hi),
-        }
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        # ON BY DEFAULT since round 4 so the driver-recorded BENCH_r{N}.json
+        # carries the north-rule scaling evidence (VERDICT r3 #1)
+        out["scaling"] = _scaling_sandwich()
 
     print(json.dumps(out))
+
+
+def _run_scaling_child(cpus: int) -> dict:
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
+        capture_output=True,
+        text=True,
+        env={
+            **os.environ,
+            "SPARK_GRAFT_SCALING": "0",
+            # headroom for `hi` concurrent Arrow streams on the x4 graph
+            "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        },
+    )
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def _scaling_sandwich() -> dict:
+    """North-rule scaling evidence, sandwich protocol (BENCH.md round 3).
+
+    Runs the compute-bound curvature stage narrow -> wide -> narrow in
+    separate JVMs. The two narrow legs measure the same work before and
+    after the wide leg: if they disagree by more than 3% the host was
+    noisy during the window and the attempt is retried (up to 3 attempts;
+    the last attempt is recorded regardless, flagged ``accepted: false``).
+    Efficiency = (mean_narrow / wide) / (hi / lo). No post-hoc hardware
+    adjustment is applied to the reported number.
+    """
+    lo, hi = (
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16").split(",")
+    )
+    attempts = []
+    for attempt in range(int(os.environ.get("SPARK_GRAFT_SCALING_ATTEMPTS", "3"))):
+        lo1 = _run_scaling_child(lo)
+        hig = _run_scaling_child(hi)
+        lo2 = _run_scaling_child(lo)
+        agree = abs(lo1["curvature_secs"] - lo2["curvature_secs"]) / min(
+            lo1["curvature_secs"], lo2["curvature_secs"]
+        )
+        rec = {
+            "narrow_secs": [round(lo1["curvature_secs"], 3), round(lo2["curvature_secs"], 3)],
+            "wide_secs": round(hig["curvature_secs"], 3),
+            "narrow_disagreement": round(agree, 4),
+            "accepted": agree <= 0.03,
+            "pagerank_narrow_secs": round(lo1["pagerank_secs"], 3),
+            "pagerank_wide_secs": round(hig["pagerank_secs"], 3),
+            "n_edges": hig["n_edges"],
+        }
+        attempts.append(rec)
+        if rec["accepted"]:
+            break
+    best = attempts[-1]
+    mean_narrow = sum(best["narrow_secs"]) / 2.0
+    return {
+        "protocol": "sandwich narrow-wide-narrow; accept narrow legs within 3%",
+        "cores": [lo, hi],
+        "dense_n_edges": best["n_edges"],
+        "curvature_efficiency": round((mean_narrow / best["wide_secs"]) / (hi / lo), 3),
+        "pagerank_efficiency": round(
+            (best["pagerank_narrow_secs"] / best["pagerank_wide_secs"]) / (hi / lo), 3
+        ),
+        "accepted": best["accepted"],
+        "attempts": attempts,
+        # guest-visible CPUs != deliverable parallel capacity on a shared
+        # VM host; this pure-python probe records how many cores the box
+        # actually sustains at `hi`-wide so an efficiency reading below
+        # the host cap is attributable, independent of Spark.
+        "effective_cores_probe": _effective_cores(hi),
+    }
 
 
 def _effective_cores(width: int) -> float:

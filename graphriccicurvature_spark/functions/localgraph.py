@@ -175,9 +175,17 @@ def component_curvature(
             kappas[e] = 0.0
             continue
         if method == "ATD":
-            # reference :257-294 — all neighbors, untransformed, global dists
+            # reference :257-294 — all neighbors, untransformed, global dists.
+            # An empty neighbor set (directed source with no predecessors)
+            # raises ZeroDivisionError in the reference (:281); we define it
+            # as the node itself, consistent with node_distribution's
+            # isolated-node self-mass (:96-98).
             s_nb = in_nbrs[s] if directed else out_nbrs[s]
             t_nb = out_nbrs[t]
+            if len(s_nb) == 0:
+                s_nb = np.array([s])
+            if len(t_nb) == 0:
+                t_nb = np.array([t])
             share = (1.0 - alpha) / (len(s_nb) * len(t_nb))
             m = alpha * D[s, t] + share * D[np.ix_(s_nb, t_nb)].sum()
             kappas[e] = 1.0 - m / w_st  # reference :344

@@ -25,7 +25,8 @@ from ..plans.controller import RoundCheckpoint
 from ..plans.lineage import truncate_plan
 from ..sources.edges import canonicalize, prepare_edges
 from .components import connected_components
-from .ollivier import ricci_curvature_edges
+from .degrees import degree_table
+from .ollivier import assign_blocks, ricci_curvature_edges
 
 
 def _drain_caches(registry: list) -> None:
@@ -63,6 +64,25 @@ def _largest_component_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     return edges, comps
 
 
+def _blk_cols(df: DataFrame) -> list:
+    return ["_blk"] if "_blk" in df.columns else []
+
+
+def _init_skeleton(edges: DataFrame, skeleton: dict, nbr_topk: int) -> DataFrame:
+    """Attach the round-invariant ego-gather structure: per-src block ids
+    on the edge table, and the cap-skip flag when no degree exceeds
+    ``nbr_topk`` (then neighbor SETS never change as weights evolve, so the
+    adjacency top-k window and the gather-demand table are reusable)."""
+    max_deg = (
+        degree_table(edges.select("src", "dst", "weight"), directed=False)
+        .agg(F.max("degree"))
+        .collect()[0][0]
+    )
+    if max_deg is not None and max_deg <= nbr_topk:
+        skeleton["skip_cap"] = True
+    return edges if "_blk" in edges.columns else assign_blocks(edges)
+
+
 def ricci_flow(
     edges: DataFrame,
     *,
@@ -91,6 +111,43 @@ def ricci_flow(
     ``{"round", "secs", "kappa_diff"}`` — bench.py uses it to report
     seconds/round and rounds-to-converge for the flow loop.
     """
+    # ego-mode gather skeleton: block assignment, the (partition, member)
+    # demand table and the cap-skip flag are ROUND-INVARIANT (only `weight`
+    # changes between rounds; surgery only removes edges, so the cached
+    # demand stays a valid superset) — build once, reuse every round
+    # (VERDICT r3 next-round #3). Drained leak-safe on any exit.
+    skeleton: dict | None = {} if mode == "ego" else None
+    try:
+        return _ricci_flow_loop(
+            edges, iterations=iterations, step=step, delta=delta,
+            surgery=surgery, surgery_every=surgery_every,
+            checkpoint_dir=checkpoint_dir, verbose=verbose, alpha=alpha,
+            method=method, base=base, exp_power=exp_power, nbr_topk=nbr_topk,
+            mode=mode, round_stats=round_stats, skeleton=skeleton,
+        )
+    finally:
+        _drain_caches((skeleton or {}).get("caches", []))
+
+
+def _ricci_flow_loop(
+    edges: DataFrame,
+    *,
+    iterations: int,
+    step: float,
+    delta: float,
+    surgery,
+    surgery_every: int,
+    checkpoint_dir: str | None,
+    verbose: bool,
+    alpha: float,
+    method: str,
+    base: float,
+    exp_power: float,
+    nbr_topk: int,
+    mode: str,
+    round_stats: list | None,
+    skeleton: dict | None,
+) -> DataFrame:
     spark = edges.sparkSession
     curv_kwargs = dict(
         alpha=alpha, method=method, base=base, exp_power=exp_power,
@@ -114,11 +171,14 @@ def ricci_flow(
         if "original_rc" in edges.columns:
             state = edges  # continue-to-refine (reference :566-567)
         else:
+            if skeleton is not None:
+                edges = _init_skeleton(edges, skeleton, nbr_topk)
             k = ricci_curvature_edges(
-                edges, components=comps, cache_registry=caches, **curv_kwargs
+                edges, components=comps, cache_registry=caches,
+                skeleton=skeleton, **curv_kwargs
             )
             state = (
-                edges.select("src", "dst", "weight")
+                edges.select("src", "dst", "weight", *_blk_cols(edges))
                 .join(k, ["src", "dst"])
                 .withColumn("original_rc", F.col("ricci_curvature"))
                 .transform(truncate_plan)
@@ -126,6 +186,10 @@ def ricci_flow(
             _drain_caches(caches)
     if comps is None and mode == "component":
         comps = connected_components(state.select("src", "dst", "weight")).cache()
+    if skeleton is not None and not skeleton.get("skip_cap"):
+        # continue-to-refine / checkpoint-resume path: (re)derive the
+        # invariant structure from the current state table
+        state = _init_skeleton(state, skeleton, nbr_topk)
 
     # bootstrap: the gradient step's un-normalized weight sum for round i is
     # Σ w·(1 − step·κ) over round i−1's table, so each round's convergence
@@ -154,13 +218,17 @@ def ricci_flow(
         )
         # 3. recompute curvature on the new metric (reference :591)
         k = ricci_curvature_edges(
-            updated.select("src", "dst", "weight"), components=comps,
-            cache_registry=caches, **curv_kwargs
+            updated.select("src", "dst", "weight", *_blk_cols(updated)),
+            components=comps, cache_registry=caches, skeleton=skeleton,
+            **curv_kwargs
         )
         state = (
-            updated.select("src", "dst", "weight", "original_rc")
+            updated.select("src", "dst", "weight", "original_rc", *_blk_cols(updated))
             .join(k, ["src", "dst"])
-            .select("src", "dst", "weight", "ricci_curvature", "original_rc")
+            .select(
+                "src", "dst", "weight", "ricci_curvature", "original_rc",
+                *_blk_cols(updated),
+            )
             .transform(lambda d: truncate_plan(d, eager=False))
         )
         # 4. convergence (reference :593-600) — this aggregate is the action
@@ -218,4 +286,4 @@ def ricci_flow(
             next_sumw = post["next_sumw"]
             if mode == "component":
                 comps = connected_components(state.select("src", "dst", "weight")).cache()
-    return state
+    return state.drop("_blk")

@@ -34,6 +34,7 @@ batch (one native EMD call / one vectorized Sinkhorn fixed point).
 from __future__ import annotations
 
 import math
+import os
 import warnings
 
 import numpy as np
@@ -57,6 +58,16 @@ from ..functions.localgraph import (
 )
 from ..functions.sinkhorn import sinkhorn_cost_batch
 from ..sources.edges import canonicalize, prepare_edges, symmetrize
+
+try:  # native ego-partition kernel (compiled at import; see emd_native)
+    from ..functions import emd_native as _emd_native
+
+    _EGO_NATIVE = _emd_native.available() and hasattr(
+        _emd_native, "ego_solve_batch_native"
+    )
+except Exception:  # pragma: no cover
+    _emd_native = None
+    _EGO_NATIVE = False
 from .components import connected_components
 from .degrees import degree_table
 
@@ -91,6 +102,8 @@ def ricci_curvature_edges(
     cache_registry: list | None = None,
     otd_sinkhorn_threshold: int = OTD_SINKHORN_THRESHOLD,
     component_size_limit: int | None = 10_000,
+    ego_native: bool = True,
+    skeleton: dict | None = None,
 ) -> DataFrame:
     """Returns ``(src, dst, ricci_curvature)`` for the requested edges.
 
@@ -118,6 +131,18 @@ def ricci_curvature_edges(
     The check reuses the CC pass component mode needs anyway and is
     skipped when the caller supplies ``components`` (iterative callers —
     the flow loop — validate once and reuse the table every round).
+
+    ``skeleton`` (ego mode, iterative callers): a caller-owned dict holding
+    the gather's ROUND-INVARIANT structure so repeat calls on the same
+    topology (the Ricci-flow loop — only ``weight`` changes between rounds)
+    skip rebuilding it. Valid ONLY while neighbor sets are invariant, i.e.
+    the caller verified ``max degree <= nbr_topk`` and set
+    ``skeleton["skip_cap"] = True`` (the adjacency top-k window then also
+    never binds and is skipped — one less per-round sort). The dict
+    accumulates: ``demand`` (the cached (partition, member) gather-demand
+    table) and ``caches`` (DataFrames the caller must unpersist when the
+    loop ends). An eval-edge table already carrying a ``_blk`` column
+    (:func:`assign_blocks`) skips the per-round hub-chunk count join too.
     """
     assert mode in ("component", "ego")
     edges = prepare_edges(edges)
@@ -149,7 +174,7 @@ def ricci_curvature_edges(
                 return _ego_mode(
                     edges, directed, alpha, method, base, exp_power, nbr_topk,
                     edge_list, sinkhorn_reg, salt, cache_registry,
-                    otd_sinkhorn_threshold,
+                    otd_sinkhorn_threshold, ego_native, skeleton,
                 )
         return _component_mode(
             edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg,
@@ -157,7 +182,7 @@ def ricci_curvature_edges(
         )
     return _ego_mode(
         edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg,
-        salt, cache_registry, otd_sinkhorn_threshold,
+        salt, cache_registry, otd_sinkhorn_threshold, ego_native, skeleton,
     )
 
 
@@ -258,10 +283,30 @@ def _empty_d():
     return F.array().cast("array<double>")
 
 
+def assign_blocks(ev: DataFrame) -> DataFrame:
+    """Chunk hub sources: at most BLOCK_MAX_EDGES eval edges per gathered
+    block, so one mega-hub cannot produce an unbounded Arrow row. The
+    assignment depends only on topology (per-src counts + dst hash), so
+    iterative callers compute it ONCE and carry ``_blk`` through rounds."""
+    cnt = ev.groupBy("src").agg(F.count("*").alias("_nev"))
+    return ev.join(cnt, "src").withColumn(
+        "_blk",
+        F.pmod(
+            F.xxhash64("dst"),
+            F.greatest(F.ceil(F.col("_nev") / F.lit(BLOCK_MAX_EDGES)), F.lit(1)),
+        ).cast("int"),
+    ).drop("_nev")
+
+
 def _ego_mode(
     edges, directed, alpha, method, base, exp_power, nbr_topk, edge_list, sinkhorn_reg,
     salt=None, cache_registry=None, otd_sinkhorn_threshold=OTD_SINKHORN_THRESHOLD,
+    ego_native=True, skeleton=None,
 ):
+    if skeleton is not None and not skeleton.get("skip_cap"):
+        # without the verified degree bound, neighbor SETS may change as
+        # weights evolve (the top-k cap binds) — structure is not reusable
+        skeleton = None
     if directed:
         out_view = edges.select("src", "dst", "weight")
     else:
@@ -272,9 +317,14 @@ def _ego_mode(
     # Arrays capped at nbr_topk: exactly the reference's support truncation
     # (OllivierRicci.py:89-92) for distributions, and the documented
     # ego-distance approximation for hub vertices at scale.
-    adj_out = _adjacency(out_view, "src", "dst", "out", cap=nbr_topk).cache()
+    # skeleton["skip_cap"]: the caller verified max degree <= nbr_topk, so
+    # the top-k window never binds — skip its per-round full sort of the
+    # symmetrized edge view (array order changes; values are order-invariant
+    # modulo FP summation ulps)
+    cap = None if (skeleton or {}).get("skip_cap") else nbr_topk
+    adj_out = _adjacency(out_view, "src", "dst", "out", cap=cap).cache()
     adj_in = (
-        _adjacency(out_view, "dst", "src", "in", cap=nbr_topk).cache()
+        _adjacency(out_view, "dst", "src", "in", cap=cap).cache()
         if directed
         else None
     )
@@ -284,19 +334,12 @@ def _ego_mode(
         if adj_in is not None:
             cache_registry.append(adj_in)
 
-    ev = edges.select("src", "dst", "weight")
+    has_blk = "_blk" in edges.columns
+    ev = edges.select("src", "dst", "weight", *(["_blk"] if has_blk else []))
     if edge_list is not None:
         ev = ev.join(edge_list.select("src", "dst"), ["src", "dst"], "left_semi")
-    # chunk hub sources: at most BLOCK_MAX_EDGES eval edges per gathered
-    # block, so one mega-hub cannot produce an unbounded Arrow row
-    cnt = ev.groupBy("src").agg(F.count("*").alias("_nev"))
-    ev = ev.join(cnt, "src").withColumn(
-        "_blk",
-        F.pmod(
-            F.xxhash64("dst"),
-            F.greatest(F.ceil(F.col("_nev") / F.lit(BLOCK_MAX_EDGES)), F.lit(1)),
-        ).cast("int"),
-    ).drop("_nev")
+    if not has_blk:
+        ev = assign_blocks(ev)
     # explicit numbered repartition BEFORE the adjacency joins: the edge
     # list is tiny in bytes (AQE would coalesce it to ~1 task) but the
     # broadcast adjacency joins inflate each row by O(deg) — without this a
@@ -366,31 +409,43 @@ def _ego_mode(
     # the demand branch recomputes _pid from (src, _blk) rather than reusing
     # e1's column: the cogroup below would otherwise see the same attribute
     # on both sides of a self-referencing lineage (ambiguous-column error)
-    demand = (
-        e1.select(
-            "src",
-            "_blk",
-            F.explode(
-                F.array_distinct(
-                    F.concat(
-                        F.array("src"),
-                        F.col("s_nbrs"),
-                        F.flatten(
-                            F.transform(
-                                "targets",
-                                lambda t: F.concat(F.array(t["dst"]), t["t_nbrs"]),
-                            )
-                        ),
+    if skeleton is not None and "demand" in skeleton:
+        # round-invariant (neighbor sets fixed while skip_cap holds): reuse
+        # the cached (partition, member) table — skips the explode +
+        # array_distinct + distinct shuffle every flow round
+        demand = skeleton["demand"]
+    else:
+        demand = (
+            e1.select(
+                "src",
+                "_blk",
+                F.explode(
+                    F.array_distinct(
+                        F.concat(
+                            F.array("src"),
+                            F.col("s_nbrs"),
+                            F.flatten(
+                                F.transform(
+                                    "targets",
+                                    lambda t: F.concat(F.array(t["dst"]), t["t_nbrs"]),
+                                )
+                            ),
+                        )
                     )
-                )
-            ).alias("member"),
+                ).alias("member"),
+            )
+            .select(
+                F.pmod(F.xxhash64("src", "_blk"), F.lit(n_part)).cast("int").alias("_pid"),
+                "member",
+            )
+            .distinct()
         )
-        .select(
-            F.pmod(F.xxhash64("src", "_blk"), F.lit(n_part)).cast("int").alias("_pid"),
-            "member",
-        )
-        .distinct()
-    )
+        if skeleton is not None:
+            # cache the distinct output as-is: the member join below
+            # re-shuffles by member every round regardless
+            demand = demand.cache()
+            skeleton["demand"] = demand
+            skeleton.setdefault("caches", []).append(demand)
     adj_member = adj_out.select(
         F.col("node").alias("member"),
         F.col("out_nbrs").alias("m_nbrs"),
@@ -421,6 +476,7 @@ def _ego_mode(
         nbr_topk=nbr_topk,
         sinkhorn_reg=sinkhorn_reg,
         otd_sinkhorn_threshold=otd_sinkhorn_threshold,
+        ego_native=ego_native,
     )
 
     def solve(left, right):
@@ -493,6 +549,7 @@ def _solve_ego_cogroup(
     nbr_topk: int,
     sinkhorn_reg: float,
     otd_sinkhorn_threshold: int = OTD_SINKHORN_THRESHOLD,
+    ego_native: bool = True,
 ):
     """Per-partition cogrouped ego solve on flat Arrow buffers.
 
@@ -555,6 +612,102 @@ def _solve_ego_cogroup(
     row_start = nb_off[:-1][order] if len(mem) else np.empty(0, np.int64)
     row_len = (nb_off[1:] - nb_off[:-1])[order] if len(mem) else np.empty(0, np.int64)
     wrow_start = ws_off[:-1][order] if len(mem) else np.empty(0, np.int64)
+
+    if (
+        ego_native
+        and _EGO_NATIVE
+        and os.environ.get("GRC_EGO_NATIVE", "1") != "0"
+        and method in ("OTD", "ATD", "Sinkhorn", "OTDSinkhornMix")
+        # flat-buffer layout assumption (always true for fresh combined
+        # chunks; fall back to the numpy loop on sliced offsets)
+        and t_off[0] == 0
+        and t_off[-1] == len(t_dst)
+    ):
+        # ---- native fast path: the whole per-edge loop (member LUT, W
+        # fill, support-arc injection, FW, distributions, exact OT) runs in
+        # ONE C call per cogroup partition; only Sinkhorn-routed problems
+        # come back for the python batched solver. Routing is decided here
+        # (it depends only on support sizes + method) so exact-size flat
+        # buffers can be preallocated. Values match the numpy loop below
+        # to ~1e-12 (same FW/EMD code; pow() ulp differences only) —
+        # tests/test_round4_native.py. Disable with GRC_EGO_NATIVE=0.
+        n_edges = len(t_dst)
+        e_cnt = t_off[1:] - t_off[:-1]
+        slen_e = np.repeat(s_off[1:] - s_off[:-1], e_cnt)
+        tlen_e = tn_off[1:] - tn_off[:-1]
+        m_sup = np.where(slen_e == 0, 1, np.minimum(slen_e, nbr_topk) + 1)
+        n_sup = np.where(tlen_e == 0, 1, np.minimum(tlen_e, nbr_topk) + 1)
+        if method == "Sinkhorn":
+            skm_mask = np.ones(n_edges, dtype=bool)
+        elif method == "OTDSinkhornMix":
+            skm_mask = (m_sup > otd_sinkhorn_threshold) & (
+                n_sup > otd_sinkhorn_threshold
+            )
+        else:
+            skm_mask = np.zeros(n_edges, dtype=bool)
+        t_w64 = t_w.astype(np.float64, copy=False)
+        skm_mask &= t_w64 >= EPSILON
+        sk_slot = np.full(n_edges, -1, dtype=np.int64)
+        n_def = int(skm_mask.sum())
+        sk_slot[skm_mask] = np.arange(n_def)
+        skm = m_sup[skm_mask]
+        skn = n_sup[skm_mask]
+        skx_off = np.concatenate(([0], np.cumsum(skm))).astype(np.int64)
+        sky_off = np.concatenate(([0], np.cumsum(skn))).astype(np.int64)
+        skd_off = np.concatenate(([0], np.cumsum(skm * skn))).astype(np.int64)
+        kappa, skx, sky, skd, n_clamped = _emd_native.ego_solve_batch_native(
+            src=src,
+            s_off=s_off,
+            s_vals=s_vals,
+            sw_off=sw_off,
+            sw_vals=sw_vals,
+            t_off=t_off,
+            t_dst=t_dst,
+            t_w=t_w64,
+            tn_off=tn_off,
+            tn_vals=tn_vals,
+            tw_off=tw_off,
+            tw_vals=tw_vals,
+            sm=sm,
+            row_start=row_start,
+            row_len=row_len,
+            wrow_start=wrow_start,
+            nb_vals=nb_vals,
+            ws_vals=ws_vals,
+            directed=directed,
+            method=method,
+            alpha=alpha,
+            base=base,
+            exp_power=exp_power,
+            nbr_topk=nbr_topk,
+            route=skm_mask,
+            sk_slot=sk_slot,
+            skx_off=skx_off,
+            sky_off=sky_off,
+            skd_off=skd_off,
+        )
+        if n_clamped:
+            warnings.warn(
+                f"non-finite local distance in {n_clamped} ego-block entries; "
+                "clamped to max finite",
+                RuntimeWarning,
+            )
+        if n_def:
+            xs_l = [skx[skx_off[i] : skx_off[i + 1]] for i in range(n_def)]
+            ys_l = [sky[sky_off[i] : sky_off[i + 1]] for i in range(n_def)]
+            ds_l = [
+                skd[skd_off[i] : skd_off[i + 1]].reshape(skm[i], skn[i])
+                for i in range(n_def)
+            ]
+            ms = sinkhorn_cost_batch(xs_l, ys_l, ds_l, reg=sinkhorn_reg)
+            kappa[skm_mask] = 1.0 - ms / t_w64[skm_mask]
+        return pa.table(
+            {
+                "src": pa.array(np.repeat(src, e_cnt)),
+                "dst": pa.array(t_dst.astype(np.int64, copy=False)),
+                "ricci_curvature": pa.array(kappa),
+            }
+        )
 
     n_edges = len(t_dst)
     out_src = np.empty(n_edges, dtype=np.int64)
@@ -666,8 +819,13 @@ def _solve_ego_cogroup(
             D = apsp(W)
 
             if method == "ATD":  # reference :257-294
-                share = (1.0 - alpha) / (len(s_idx) * len(t_idx))
-                dsub = _clamp_nonfinite(D[np.ix_(s_idx, t_idx)], w_st)
+                # empty neighbor set -> the node itself (the reference
+                # raises ZeroDivisionError at :281; self-fallback matches
+                # node_distribution's isolated-node semantics)
+                a_rows = s_idx if len(s_idx) else np.array([si])
+                a_cols = t_idx if len(t_idx) else np.array([ti])
+                share = (1.0 - alpha) / (len(a_rows) * len(a_cols))
+                dsub = _clamp_nonfinite(D[np.ix_(a_rows, a_cols)], w_st)
                 m = alpha * D[si, ti] + share * dsub.sum()
                 out[k] = 1.0 - m / w_st  # reference :344
             else:

@@ -158,6 +158,43 @@ def clustered_edges_from_documents(
     )
 
 
+def clique_chain_edges(
+    spark: SparkSession, n_cliques: int = 6, clique_size: int = 10
+) -> DataFrame:
+    """Deterministic equal-clique ring: ``n_cliques`` cliques of
+    ``clique_size`` nodes, chained into a ring by one bridge edge per
+    clique (node 0 of clique c -> node 0 of clique c+1).
+
+    This is the *converging* Ricci-flow fixture (VERDICT r3 #7): under
+    flow the edges around the community boundary stretch (measured: the
+    bridge-endpoint vertices' intra-clique edges stretch hardest), the
+    reference surgery hook (my_surgery.py:54-92) removes them, and the
+    surviving equal cliques have identical curvature on every edge — so
+    ``max(kappa)-min(kappa)`` hits exactly 0 and the loop stops on its own
+    convergence test rather than the iteration cap. Fully declarative
+    generation (range + explode), no driver-side loops.
+    """
+    k, m = n_cliques, clique_size
+    nodes = spark.range(k * m).select(
+        (F.col("id") / m).cast("long").alias("c"),
+        (F.col("id") % m).alias("i"),
+        F.col("id").alias("src"),
+    )
+    intra = (
+        nodes.filter(F.col("i") < m - 1)
+        .withColumn("j", F.explode(F.sequence(F.col("i") + 1, F.lit(m - 1))))
+        .select("src", (F.col("c") * m + F.col("j")).alias("dst"))
+    )
+    bridges = nodes.filter(F.col("i") == 0).select(
+        "src", (((F.col("c") + 1) % k) * m).alias("dst")
+    )
+    return canonicalize(
+        intra.union(bridges)
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
 def edges_sql_cte(table: str = "documents") -> str:
     """DuckDB CTE producing the identical edge table (for oracle_sql)."""
     return f"""
