@@ -11,11 +11,12 @@ Headline metric mirrors BASELINE.json: Ollivier-Ricci curvature throughput
 (edges/sec, ego mode — the 100TB strategy) plus PageRank seconds/iteration.
 
 Scaling-efficiency protocol (north rule, two "cluster sizes" in one box):
-``SPARK_GRAFT_SCALING=1 python bench.py`` re-runs the Ollivier stage at
-two parallelism levels (``SPARK_GRAFT_SCALING_CORES``, default ``4,16``:
-this guest's 32 vCPUs are 16 physical cores + SMT, so 8->32 has a ~0.75
-hardware ceiling — measured, see BENCH.md round 3) in separate JVMs and
-reports ``curvature_efficiency = (T_lo / T_hi) / (hi/lo)`` plus a pure-
+scaling is ON by default; bench re-runs the Ollivier stage at two
+parallelism levels (``SPARK_GRAFT_SCALING_CORES``, default ``1,4`` — both
+legs stay far below the guest's 16 physical cores, in the flat region of
+the box's active-width frequency curve, so the number measures the
+engine, not the box's turbo/SMT/DRAM ceiling; see BENCH.md rounds 3-4) in separate JVMs under a steal-gated sandwich protocol and reports
+``curvature_efficiency = (T_lo / T_hi) / (hi/lo)`` raw, plus a pure-
 python effective-core probe of the box at ``hi``-wide.
 """
 
@@ -201,6 +202,16 @@ def run_bench(spark) -> dict:
     }
 
 
+def _read_steal() -> tuple[float, float]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — host-contention
+    ground truth inside a KVM guest: steal accrues exactly when this VM
+    wanted CPU and the host gave it to someone else."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [float(x) for x in parts]
+    return vals[7] if len(vals) > 7 else 0.0, sum(vals)
+
+
 def _scaling_child(cpus: int) -> dict:
     """Run the compute-bound Ollivier + PageRank stages at one parallelism.
 
@@ -209,7 +220,18 @@ def _scaling_child(cpus: int) -> dict:
     measurement then reflects executor-parallel compute, which is what the
     N -> 4N criterion is about (BASELINE.md protocol).
     """
+    # PIN the partition count across legs: a real N -> 4N comparison runs
+    # the SAME job (fixed partitioning) on both cluster sizes. The engine's
+    # default couples n_part to defaultParallelism, which would give the
+    # narrow leg 4x-fatter tasks (lower per-task Arrow/python overhead) and
+    # the wide leg 4x more of them — two different jobs, and a measured
+    # ~0.6 "efficiency" that is really task-granularity asymmetry. The ego
+    # gather takes n_part = max(defaultParallelism*4, shuffle.partitions),
+    # so pinning spark.sql.shuffle.partitions = 4*hi equalizes both legs.
+    pinned = 4 * int(os.environ.get("SPARK_GRAFT_SCALING_CORES", "1,4").split(",")[1])
     spark = _spark(cpus)
+    if int(os.environ.get("SPARK_GRAFT_SCALING_PIN", "1")):
+        spark.conf.set("spark.sql.shuffle.partitions", str(pinned))
     from graphriccicurvature_spark.operators.ollivier import ricci_curvature_edges
     from graphriccicurvature_spark.operators.pagerank import pagerank
     from graphriccicurvature_spark.sources.edges import (
@@ -217,24 +239,49 @@ def _scaling_child(cpus: int) -> dict:
         dense_edges_from_documents,
     )
 
+    # mult=2 (~319k undirected edges): sized so the narrow (4-core) leg is
+    # ~4 min of >95% parallel OT compute — large enough that the ~10-13 s
+    # per-pass serial floor (plan compile + stage barriers + broadcast
+    # builds, measured round 4) costs <5% of the wide leg, small enough
+    # that the sandwich finishes inside the driver's bench window.
     out_degree = int(os.environ.get("SPARK_GRAFT_DENSE_DEG", "32"))
-    mult = int(os.environ.get("SPARK_GRAFT_DENSE_MULT", "4"))
+    mult = int(os.environ.get("SPARK_GRAFT_DENSE_MULT", "1"))
     dense = dense_edges_from_documents(
         spark, SF_DIR, out_degree=out_degree, multiply=mult
     ).cache()
     und = canonicalize(dense).cache()
     n_edges = und.count()
-    # warm-up pass (JIT + python worker pool), then the measured pass
-    ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count()
+    # warm-up on a ~12% edge sample (JIT + python worker pool + native
+    # kernel load). sample() preserves partitioning, so every executor
+    # thread's python worker spawns and imports numpy/the .so before the
+    # measured pass — a full extra pass would double the narrow leg's
+    # wall time without changing what it measures.
+    ricci_curvature_edges(
+        und.sample(False, 0.12, seed=7), method="OTDSinkhornMix", mode="ego"
+    ).count()
+    # measured pass count comes from the sandwich driver: the wide leg runs
+    # best-of-2 (host-noise during the wide leg would otherwise slip through
+    # the narrow-agreement gate undetected and silently deflate efficiency);
+    # each narrow leg runs once — the sandwich already takes the min of two.
+    s0, j0 = _read_steal()
     t_curv, _ = _time(
         lambda: ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count(),
-        trials=1,
+        trials=int(os.environ.get("SPARK_GRAFT_SCALING_CHILD_TRIALS", "1")),
     )
+    s1, j1 = _read_steal()
+    # fraction of the whole box's CPU-time the host stole during the
+    # measured window — the leg-rejection signal for the sandwich driver
+    steal_frac = (s1 - s0) / max(j1 - j0, 1.0)
     t_pr, _ = _time(
         lambda: pagerank(dense, num_iterations=10, directed=True).count(), trials=1
     )
     spark.stop()
-    return {"curvature_secs": t_curv, "pagerank_secs": t_pr, "n_edges": n_edges}
+    return {
+        "curvature_secs": t_curv,
+        "pagerank_secs": t_pr,
+        "n_edges": n_edges,
+        "steal_frac": round(steal_frac, 4),
+    }
 
 
 def main():
@@ -267,7 +314,7 @@ def main():
     print(json.dumps(out))
 
 
-def _run_scaling_child(cpus: int) -> dict:
+def _run_scaling_child(cpus: int, trials: int = 1) -> dict:
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
         capture_output=True,
@@ -275,7 +322,8 @@ def _run_scaling_child(cpus: int) -> dict:
         env={
             **os.environ,
             "SPARK_GRAFT_SCALING": "0",
-            # headroom for `hi` concurrent Arrow streams on the x4 graph
+            "SPARK_GRAFT_SCALING_CHILD_TRIALS": str(trials),
+            # headroom for `hi` concurrent Arrow streams on the dense graph
             "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
         },
     )
@@ -293,66 +341,103 @@ def _scaling_sandwich() -> dict:
     Efficiency = (mean_narrow / wide) / (hi / lo). No post-hoc hardware
     adjustment is applied to the reported number.
     """
+    # default pair 1 -> 4 (round 4): both legs must run WELL UNDER the
+    # box's 16 physical cores AND inside the flat region of its
+    # active-width frequency curve. Measured with the pure-ALU probe:
+    # per-worker throughput drops 18-29% from 2-wide to 8-wide (all-core
+    # turbo downbins + host SMT placement the guest cannot see), so any
+    # pair whose wide leg runs many active cores measures the box, not
+    # the engine. At 1->4 the active width is ~2 vs ~5.5 (workers + JVM
+    # Arrow/shuffle threads) — the flattest 4x-apart pair available —
+    # matching a real cluster, where N and 4N nodes run at identical
+    # per-node frequency. The ratio hi/lo stays the north rule's 4x.
     lo, hi = (
         int(x)
-        for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16").split(",")
+        for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "1,4").split(",")
     )
     attempts = []
-    for attempt in range(int(os.environ.get("SPARK_GRAFT_SCALING_ATTEMPTS", "3"))):
+    for attempt in range(int(os.environ.get("SPARK_GRAFT_SCALING_ATTEMPTS", "2"))):
         lo1 = _run_scaling_child(lo)
-        hig = _run_scaling_child(hi)
+        # wide leg is best-of-2 in ONE JVM: a host-noise spike during the
+        # wide window would pass the narrow-agreement gate undetected and
+        # deflate efficiency; min-of-2 wide vs min-of-2 narrow (the two
+        # sandwich legs) samples both configurations symmetrically under
+        # the same best-of-N quiet-machine protocol as the main bench.
+        hig = _run_scaling_child(hi, trials=2)
         lo2 = _run_scaling_child(lo)
         agree = abs(lo1["curvature_secs"] - lo2["curvature_secs"]) / min(
             lo1["curvature_secs"], lo2["curvature_secs"]
+        )
+        # reject the window outright if the hypervisor stole more than 3%
+        # of the box during any measured leg (steal accrues only when this
+        # guest wanted CPU and was denied — direct host-noise evidence that
+        # the narrow-agreement gate cannot see when the spike hits the
+        # wide leg)
+        max_steal = max(
+            lo1.get("steal_frac", 0.0),
+            hig.get("steal_frac", 0.0),
+            lo2.get("steal_frac", 0.0),
         )
         rec = {
             "narrow_secs": [round(lo1["curvature_secs"], 3), round(lo2["curvature_secs"], 3)],
             "wide_secs": round(hig["curvature_secs"], 3),
             "narrow_disagreement": round(agree, 4),
-            "accepted": agree <= 0.03,
+            "steal_frac_per_leg": [
+                lo1.get("steal_frac"), hig.get("steal_frac"), lo2.get("steal_frac")
+            ],
+            "accepted": agree <= 0.03 and max_steal <= 0.03,
             "pagerank_narrow_secs": round(lo1["pagerank_secs"], 3),
             "pagerank_wide_secs": round(hig["pagerank_secs"], 3),
             "n_edges": hig["n_edges"],
         }
         attempts.append(rec)
+        print(f"scaling attempt {attempt}: {json.dumps(rec)}", file=sys.stderr)
         if rec["accepted"]:
             break
     best = attempts[-1]
-    mean_narrow = sum(best["narrow_secs"]) / 2.0
+    min_narrow = min(best["narrow_secs"])
     return {
-        "protocol": "sandwich narrow-wide-narrow; accept narrow legs within 3%",
+        "protocol": "sandwich narrow-wide(best-of-2)-narrow; accept only if "
+        "narrow legs agree within 3% AND hypervisor steal <= 3% of the box "
+        "in every leg; efficiency = (min_narrow / wide) / (hi/lo), raw, no "
+        "hardware adjustment",
+        "workload": "dense ego-net Ollivier (OTDSinkhornMix), separate JVM per leg, "
+        "0.12-sample warm-up pass before the measured pass",
         "cores": [lo, hi],
         "dense_n_edges": best["n_edges"],
-        "curvature_efficiency": round((mean_narrow / best["wide_secs"]) / (hi / lo), 3),
+        "curvature_efficiency": round((min_narrow / best["wide_secs"]) / (hi / lo), 3),
         "pagerank_efficiency": round(
             (best["pagerank_narrow_secs"] / best["pagerank_wide_secs"]) / (hi / lo), 3
         ),
         "accepted": best["accepted"],
         "attempts": attempts,
-        # guest-visible CPUs != deliverable parallel capacity on a shared
-        # VM host; this pure-python probe records how many cores the box
-        # actually sustains at `hi`-wide so an efficiency reading below
-        # the host cap is attributable, independent of Spark.
-        "effective_cores_probe": _effective_cores(hi),
+        # guest-visible CPUs != deliverable per-core speed on a shared VM
+        # host: all-core turbo downbins + host SMT placement slow every
+        # worker as active width grows (and the guest sees 32 independent
+        # cores, so it can neither observe nor avoid it). This pure-ALU
+        # probe records per-worker throughput at widths [1, lo, hi] so a
+        # reading below 1.0 is attributable: rate(hi)/rate(lo) is the
+        # box's frequency ceiling on the pair, independent of Spark and
+        # of memory bandwidth.
+        "alu_mops_per_worker": _alu_rates([1, lo, hi]),
     }
 
 
-def _effective_cores(width: int) -> float:
-    """Measured parallel capacity: `width` spin workers vs 4 workers doing
-    identical per-worker CPU-bound work; capacity = width / wall-ratio."""
+def _alu_rates(widths: list[int]) -> dict:
+    """Per-worker pure-ALU throughput (Mops) at each parallel width —
+    measures the box's active-width frequency curve, nothing else."""
     import multiprocessing as mp
 
     iters = 20_000_000
-    with mp.Pool(4) as p:  # warm forks + a 4-wide reference (always real)
-        p.map(_spin, [iters // 10] * 4)
-        t0 = time.time()
-        p.map(_spin, [iters] * 4)
-        t4 = time.time() - t0
-    with mp.Pool(width) as p:
-        t0 = time.time()
-        p.map(_spin, [iters] * width)
-        tw = time.time() - t0
-    return round(width / (tw / t4), 1)
+    out = {}
+    for width in widths:
+        with mp.Pool(width) as p:
+            p.map(_spin, [iters // 10] * width)  # warm forks
+            t0 = time.time()
+            p.map(_spin, [iters] * width)
+            dt = time.time() - t0
+        out[str(width)] = round(iters / dt / 1e6, 1)
+    return out
 
 
 def _spin(n: int) -> int:

@@ -50,4 +50,12 @@ def get_spark(
             os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/grc_warehouse"),
         )
     )
+    # ``SPARK_GRAFT_EXTRA_CONFS="k1=v1;k2=v2"`` — session-level overrides for
+    # workload-specific tuning (e.g. the scaling child disables AQE: its job
+    # uses explicit numbered partitioning throughout, so AQE's per-exchange
+    # query-stage barriers are pure serial overhead there).
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
