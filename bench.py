@@ -308,7 +308,13 @@ def main():
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         # ON BY DEFAULT since round 4 so the driver-recorded BENCH_r{N}.json
-        # carries the north-rule scaling evidence (VERDICT r3 #1)
+        # carries the north-rule scaling evidence (VERDICT r3 #1).
+        # The main-bench JSON line is printed BEFORE the ~20-40 min
+        # sandwich and re-printed merged afterwards: a consumer that
+        # parses the last complete JSON line gets the full record on
+        # normal exit, and still gets the main numbers if the process is
+        # killed mid-sandwich.
+        print(json.dumps(out), flush=True)
         out["scaling"] = _scaling_sandwich()
 
     print(json.dumps(out))
@@ -356,7 +362,14 @@ def _scaling_sandwich() -> dict:
         for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "1,4").split(",")
     )
     attempts = []
+    t_start = time.time()
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "2400"))
     for attempt in range(int(os.environ.get("SPARK_GRAFT_SCALING_ATTEMPTS", "2"))):
+        if attempt > 0 and time.time() - t_start > budget:
+            # a retry would take another ~18 min of legs; past the budget
+            # the last (rejected) attempt is recorded as-is, flagged
+            # accepted: false
+            break
         lo1 = _run_scaling_child(lo)
         # wide leg is best-of-2 in ONE JVM: a host-noise spike during the
         # wide window would pass the narrow-agreement gate undetected and
