@@ -202,14 +202,20 @@ def run_bench(spark) -> dict:
     }
 
 
-def _read_steal() -> tuple[float, float]:
-    """(steal_jiffies, total_jiffies) from /proc/stat — host-contention
-    ground truth inside a KVM guest: steal accrues exactly when this VM
-    wanted CPU and the host gave it to someone else."""
+def _read_steal() -> tuple[float, float, float]:
+    """(steal_jiffies, total_jiffies, busy_jiffies) from /proc/stat —
+    host-contention ground truth inside a KVM guest: steal accrues exactly
+    when this VM wanted CPU and the host gave it to someone else. ``busy``
+    (user+nice+sys) is what the gate divides by: on a 1-core narrow leg,
+    0.8 stolen cores read as only 2.5% of the 32-core box but are ~35% of
+    the CPU the leg actually demanded — measured round 4, a window the
+    box-fraction gate waved through."""
     with open("/proc/stat") as f:
         parts = f.readline().split()[1:]
     vals = [float(x) for x in parts]
-    return vals[7] if len(vals) > 7 else 0.0, sum(vals)
+    steal = vals[7] if len(vals) > 7 else 0.0
+    busy = vals[0] + vals[1] + vals[2]
+    return steal, sum(vals), busy
 
 
 def _scaling_child(cpus: int) -> dict:
@@ -263,15 +269,19 @@ def _scaling_child(cpus: int) -> dict:
     # best-of-2 (host-noise during the wide leg would otherwise slip through
     # the narrow-agreement gate undetected and silently deflate efficiency);
     # each narrow leg runs once — the sandwich already takes the min of two.
-    s0, j0 = _read_steal()
+    s0, j0, b0 = _read_steal()
     t_curv, _ = _time(
         lambda: ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count(),
         trials=int(os.environ.get("SPARK_GRAFT_SCALING_CHILD_TRIALS", "1")),
     )
-    s1, j1 = _read_steal()
-    # fraction of the whole box's CPU-time the host stole during the
-    # measured window — the leg-rejection signal for the sandwich driver
+    s1, j1, b1 = _read_steal()
+    # two views of the same steal delta: fraction of the whole box's
+    # CPU-time (legacy, scale-free) and — the one the gate uses — fraction
+    # of the CPU this leg actually DEMANDED (busy+steal). A narrow leg
+    # keeps ~1.3 of 32 cores busy, so box-fraction underreports contention
+    # on it by ~25x.
     steal_frac = (s1 - s0) / max(j1 - j0, 1.0)
+    steal_share = (s1 - s0) / max((b1 - b0) + (s1 - s0), 1.0)
     t_pr, _ = _time(
         lambda: pagerank(dense, num_iterations=10, directed=True).count(), trials=1
     )
@@ -281,12 +291,20 @@ def _scaling_child(cpus: int) -> dict:
         "pagerank_secs": t_pr,
         "n_edges": n_edges,
         "steal_frac": round(steal_frac, 4),
+        "steal_share": round(steal_share, 4),
     }
 
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         print(json.dumps(_scaling_child(int(sys.argv[2]))))
+        return
+
+    if os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1":
+        # retry just the sandwich (e.g. hunting a quiet host window after a
+        # rejected attempt) without re-paying the ~10 min main section; an
+        # accepted result lands in the cache for the next full bench run
+        print(json.dumps({"scaling": _scaling_cached()}))
         return
 
     spark = _spark(CPUS)
@@ -315,9 +333,80 @@ def main():
         # normal exit, and still gets the main numbers if the process is
         # killed mid-sandwich.
         print(json.dumps(out), flush=True)
-        out["scaling"] = _scaling_sandwich()
+        out["scaling"] = _scaling_cached()
 
     print(json.dumps(out))
+
+
+_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_scaling_cache.json"
+)
+_SCALING_PROTO = "r4-sandwich-2"  # bump when the sandwich protocol changes
+
+
+def _engine_fingerprint() -> str:
+    """sha256 over the engine sources the scaling number depends on, plus
+    the sandwich protocol version — NOT bench.py itself, so unrelated
+    bench edits (main-section queries, docs) don't invalidate a measured
+    result, while any engine or protocol change does."""
+    import hashlib
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256(_SCALING_PROTO.encode())
+    for rel in [
+        "graphriccicurvature_spark/operators/ollivier.py",
+        "graphriccicurvature_spark/functions/emd_native.py",
+        "graphriccicurvature_spark/functions/emd.py",
+        "graphriccicurvature_spark/functions/sinkhorn.py",
+        "graphriccicurvature_spark/functions/localgraph.py",
+        "graphriccicurvature_spark/operators/pagerank.py",
+        "graphriccicurvature_spark/sources/edges.py",
+        "graphriccicurvature_spark/session.py",
+    ]:
+        try:
+            with open(os.path.join(base, rel), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(b"missing:" + rel.encode())
+    return h.hexdigest()[:16]
+
+
+def _scaling_cached() -> dict:
+    """ACCEPTED sandwich results persist across bench runs, keyed by an
+    engine-source fingerprint: the sandwich costs 15-50 min and its result
+    is a property of the code, not of the invocation — re-paying it on
+    every bench run multiplies the driver's bench step by its run count,
+    and a noisy-host re-run would replace a clean accepted measurement
+    with a rejected one. A cache hit is returned verbatim plus
+    ``cached: true`` and the original measurement timestamp; rejected
+    results are never cached. ``SPARK_GRAFT_SCALING_FRESH=1`` forces a
+    re-measure."""
+    fp = _engine_fingerprint()
+    if os.environ.get("SPARK_GRAFT_SCALING_FRESH") != "1":
+        try:
+            with open(_CACHE_PATH) as f:
+                c = json.load(f)
+            if c.get("engine_fingerprint") == fp and c["scaling"].get("accepted"):
+                c["scaling"]["cached"] = True
+                c["scaling"]["measured_at"] = c.get("measured_at")
+                return c["scaling"]
+        except (OSError, ValueError, KeyError):
+            pass
+    block = _scaling_sandwich()
+    if block.get("accepted"):
+        tmp = _CACHE_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "engine_fingerprint": fp,
+                    "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                    "scaling": block,
+                },
+                f,
+                indent=1,
+            )
+        os.replace(tmp, _CACHE_PATH)
+    return block
 
 
 def _run_scaling_child(cpus: int, trials: int = 1) -> dict:
@@ -381,15 +470,23 @@ def _scaling_sandwich() -> dict:
         agree = abs(lo1["curvature_secs"] - lo2["curvature_secs"]) / min(
             lo1["curvature_secs"], lo2["curvature_secs"]
         )
-        # reject the window outright if the hypervisor stole more than 3%
-        # of the box during any measured leg (steal accrues only when this
-        # guest wanted CPU and was denied — direct host-noise evidence that
-        # the narrow-agreement gate cannot see when the spike hits the
-        # wide leg)
+        # reject the window outright if the hypervisor stole CPU from any
+        # measured leg (steal accrues only when this guest wanted CPU and
+        # was denied — direct host-noise evidence that the narrow-agreement
+        # gate cannot see when the spike hits the wide leg). The gate is on
+        # steal as a share of the CPU the leg DEMANDED (busy+steal), not of
+        # the 32-core box: a noisy round-4 window measured 0.8 cores stolen
+        # from a 1.3-core narrow leg — 35% of demanded CPU, walls inflated
+        # 1.8x — while reading 2.3% of the box.
         max_steal = max(
             lo1.get("steal_frac", 0.0),
             hig.get("steal_frac", 0.0),
             lo2.get("steal_frac", 0.0),
+        )
+        max_share = max(
+            lo1.get("steal_share", 0.0),
+            hig.get("steal_share", 0.0),
+            lo2.get("steal_share", 0.0),
         )
         rec = {
             "narrow_secs": [round(lo1["curvature_secs"], 3), round(lo2["curvature_secs"], 3)],
@@ -398,7 +495,13 @@ def _scaling_sandwich() -> dict:
             "steal_frac_per_leg": [
                 lo1.get("steal_frac"), hig.get("steal_frac"), lo2.get("steal_frac")
             ],
-            "accepted": agree <= 0.03 and max_steal <= 0.03,
+            "steal_share_per_leg": [
+                lo1.get("steal_share"), hig.get("steal_share"), lo2.get("steal_share")
+            ],
+            "accepted": agree <= 0.03
+            and max_steal <= 0.03
+            and max_share
+            <= float(os.environ.get("SPARK_GRAFT_STEAL_SHARE_MAX", "0.05")),
             "pagerank_narrow_secs": round(lo1["pagerank_secs"], 3),
             "pagerank_wide_secs": round(hig["pagerank_secs"], 3),
             "n_edges": hig["n_edges"],
@@ -412,7 +515,8 @@ def _scaling_sandwich() -> dict:
     return {
         "protocol": "sandwich narrow-wide(best-of-2)-narrow; accept only if "
         "narrow legs agree within 3% AND hypervisor steal <= 3% of the box "
-        "in every leg; efficiency = (min_narrow / wide) / (hi/lo), raw, no "
+        "AND <= 5% of each leg's demanded CPU (busy+steal) in every leg; "
+        "efficiency = (min_narrow / wide) / (hi/lo), raw, no "
         "hardware adjustment",
         "workload": "dense ego-net Ollivier (OTDSinkhornMix), separate JVM per leg, "
         "0.12-sample warm-up pass before the measured pass",

@@ -124,3 +124,40 @@ class TestMinhashSinglePass:
         ).collect()
         want = df.select("id", ref_sig(F.col("shset")).alias("s")).collect()
         assert {r.id: r.s for r in got} == {r.id: r.s for r in want}
+
+
+class TestBalancedPidLut:
+    """The _pid relabel LUT must be a perfect inverse of Spark's
+    HashPartitioning: without it, repartitioning a [0, n_part) pid column
+    leaves ~1/e of partitions empty (measured 75% solve-stage balance at
+    n_part=16; fixed round 4)."""
+
+    def test_lut_is_hash_bijection(self, spark):
+        from graphriccicurvature_spark.operators.ollivier import _balanced_pid_values
+
+        for n_part in (8, 16, 32):
+            lut = _balanced_pid_values(spark, n_part)
+            assert len(lut) == n_part
+            # Spark's own hash at int type must send lut[b] to bucket b
+            rows = (
+                spark.createDataFrame([(b, v) for b, v in enumerate(lut)], "b int, v int")
+                .select("b", F.pmod(F.hash(F.col("v").cast("int")), F.lit(n_part)).alias("got"))
+                .collect()
+            )
+            assert all(r.b == r.got for r in rows)
+
+    def test_repartition_places_one_pid_per_partition(self, spark):
+        from graphriccicurvature_spark.operators.ollivier import _balanced_pid_values
+
+        n_part = 16
+        lut = _balanced_pid_values(spark, n_part)
+        df = (
+            spark.createDataFrame([(v,) for v in lut for _ in range(10)], "pid int")
+            .repartition(n_part, "pid")
+            .select(F.spark_partition_id().alias("sp"), "pid")
+            .groupBy("sp")
+            .agg(F.countDistinct("pid").alias("npid"), F.count("*").alias("n"))
+            .collect()
+        )
+        assert len(df) == n_part  # zero empty partitions
+        assert all(r.npid == 1 and r.n == 10 for r in df)
