@@ -495,6 +495,47 @@ def _q_fingerprint(spark, sf):
     return fingerprint(_docs(spark, sf)).select("doc_id", "text_hash", "min_shingle_hash")
 
 
+def _q_repetition(spark, sf):
+    from graphriccicurvature_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf)).select(
+        "doc_id",
+        "n_tokens",
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+        F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+    )
+
+
+def _q_corpus_dup(spark, sf):
+    from graphriccicurvature_spark.operators.textstats import corpus_dup_passages
+
+    return corpus_dup_passages(_docs(spark, sf), k=5).select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        F.round("shared_frac", 6).alias("shared_frac"),
+    )
+
+
+def _q_hash_split(spark, sf):
+    from graphriccicurvature_spark.operators.textstats import hash_split
+
+    return hash_split(_docs(spark, sf))
+
+
+def _q_token_freq(spark, sf):
+    from graphriccicurvature_spark.operators.textstats import token_frequency
+
+    return token_frequency(_docs(spark, sf), top_n=100)
+
+
+def _q_host_stats(spark, sf):
+    from graphriccicurvature_spark.operators.textstats import host_stats
+
+    return host_stats(_pages_of(spark, sf))
+
+
 _EMB_DIM = 64  # testdata embeddings.parquet dimension (TESTDATA.md)
 
 
@@ -659,6 +700,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "fingerprint_md5": _q_fingerprint_md5,
+        "repetition_stats": _q_repetition,
+        "corpus_dup_passages": _q_corpus_dup,
+        "hash_split": _q_hash_split,
+        "token_freq_top100": _q_token_freq,
+        "host_stats": _q_host_stats,
         "simhash_md5": _q_simhash_md5,
         "pages_edges": _q_pages_edges,
         "pages_text": _q_pages_text,
@@ -1007,6 +1053,80 @@ def oracle_sql() -> dict[str, str]:
                          / len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS avg_token_len
         FROM documents
     """
+    sql["repetition_stats"] = f"""
+        WITH {_TOKS},
+        base AS (
+            SELECT d.doc_id, CAST(length(d.text) AS DOUBLE) AS n_chars, t
+            FROM documents d JOIN toks USING (doc_id)
+        ),
+        per AS (
+            SELECT doc_id, n_chars, len(t) AS n_tokens,
+                   CASE WHEN len(t) > 0
+                        THEN (len(t) - len(list_distinct(t))) / CAST(len(t) AS DOUBLE)
+                        ELSE 0.0 END AS dup_token_frac,
+                   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)] AS g3,
+                   [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS g2
+            FROM base
+        ),
+        g2x AS (SELECT doc_id, unnest(g2) AS gram FROM per),
+        cnt AS (SELECT doc_id, gram, count(*) AS c FROM g2x GROUP BY doc_id, gram),
+        top AS (
+            SELECT doc_id, gram, c,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+            FROM cnt
+        )
+        SELECT p.doc_id, p.n_tokens,
+               round(p.dup_token_frac, 6) AS dup_token_frac,
+               round(CASE WHEN len(p.g3) > 0
+                          THEN (len(p.g3) - len(list_distinct(p.g3))) / CAST(len(p.g3) AS DOUBLE)
+                          ELSE 0.0 END, 6) AS dup_3gram_frac,
+               round(CASE WHEN t.c IS NOT NULL AND p.n_chars > 0
+                          THEN t.c * length(t.gram) / p.n_chars
+                          ELSE 0.0 END, 6) AS top_2gram_char_frac
+        FROM per p LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+    """
+    sql["corpus_dup_passages"] = f"""
+        WITH {_TOKS},
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+4], ' ')
+                                  FOR i IN range(1, len(t) - 3)]) AS shset
+            FROM toks
+        ),
+        inv AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+        freq AS (SELECT s, count(*) AS df_ FROM inv GROUP BY s),
+        per AS (
+            SELECT i.doc_id, count(*) AS n_shingles,
+                   sum(CASE WHEN f.df_ >= 2 THEN 1 ELSE 0 END) AS n_shared
+            FROM inv i JOIN freq f USING (s)
+            GROUP BY i.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_shingles, 0) AS n_shingles,
+               coalesce(p.n_shared, 0) AS n_shared,
+               round(CASE WHEN p.n_shingles > 0
+                          THEN p.n_shared / CAST(p.n_shingles AS DOUBLE)
+                          ELSE 0.0 END, 6) AS shared_frac
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+    sql["hash_split"] = """
+        SELECT split, count(*) AS n_docs, sum(nt) AS n_tokens_total
+        FROM (
+            SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                        ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                        ELSE 'test' END AS split,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+            FROM documents
+        ) GROUP BY split
+    """
+    sql["token_freq_top100"] = f"""
+        WITH {_TOKS},
+        tok AS (SELECT unnest(t) AS token FROM toks)
+        SELECT token, count(*) AS n FROM tok GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT 100
+    """
     stop_en = "['the','and','of','to','in','is','that','it','for','was']"
     sql["quality"] = f"""
         WITH q AS (
@@ -1104,6 +1224,21 @@ def oracle_sql() -> dict[str, str]:
                    [{_warr}[((i * 2654435761 + k * 97) % {_wn}) + 1]
                     FOR k IN range(0, 8 + (i * 7) % 25)], ' ') AS text_extracted
         FROM (SELECT doc_id AS i FROM documents) t
+    """
+    sql["host_stats"] = f"""
+        WITH pg AS (
+            SELECT {_URL.format(i="i")} AS url,
+                   array_to_string(
+                       [{_warr}[((i * 2654435761 + k * 97) % {_wn}) + 1]
+                        FOR k IN range(0, 8 + (i * 7) % 25)], ' ') AS text,
+                   (['en','fr','es','zh','de'])[(i % 5) + 1] AS lang
+            FROM (SELECT doc_id AS i FROM documents) t
+        )
+        SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+               count(*) AS n_pages,
+               count(DISTINCT lang) AS n_langs,
+               sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS n_tokens_total
+        FROM pg GROUP BY host
     """
     # ATD curvature on the unit-weight documents graph: exact BFS distances
     # via a depth-3 recursive CTE (for neighbors a of u and b of v the true

@@ -164,6 +164,193 @@ def fingerprint_md5(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style per-document repetition filters (Rae et al. 2021 §A1.1),
+    adapted to word n-gram space.
+
+    Emits per document:
+      - ``n_tokens``
+      - ``dup_token_frac``      (n_tokens - n_distinct_tokens) / n_tokens
+      - ``dup_3gram_frac``      (n_3grams - n_distinct_3grams) / n_3grams
+      - ``top_2gram_char_frac`` chars covered by the most frequent word
+        2-gram: count * len(gram incl. separator) / len(text); ties broken
+        by the lexicographically smallest gram.
+
+    Scale notes: the two dup fractions are pure per-row array math (no
+    shuffle at all). The 2-gram mode uses explode -> two-level hash
+    aggregate keyed by (doc, gram) then doc — the scalable
+    mode-of-ngram shape; a per-row nested-loop count would be O(len²)
+    per document and blow up on book-length docs. Both aggregations get
+    map-side partial combine; nothing leaves whole-stage codegen.
+    """
+    toks = tokens(F.col(text_col))
+    g3 = word_shingles(F.col(text_col), 3)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("double").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.when(
+            F.size(toks) > 0,
+            (F.size(toks) - F.size(F.array_distinct(toks)))
+            / F.size(toks).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        F.when(
+            F.size(g3) > 0,
+            (F.size(g3) - F.size(F.array_distinct(g3))) / F.size(g3).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+    )
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), 2)).alias("gram"),
+    )
+    # min of (-count, gram) == max count with smallest-gram tie-break,
+    # computed as a plain two-stage hash aggregate (no window function).
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("gram").alias("g"))).alias("t"))
+        .select(
+            "doc_id",
+            (-F.col("t.nc")).alias("top_c"),
+            F.length(F.col("t.g")).alias("top_len"),
+        )
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "dup_3gram_frac",
+        F.when(
+            F.col("top_c").isNotNull() & (F.col("n_chars") > 0),
+            F.col("top_c") * F.col("top_len") / F.col("n_chars"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_char_frac"),
+    )
+
+
+def corpus_dup_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage detection (RefinedWeb-style): for
+    each document, the fraction of its distinct word ``k``-gram shingles
+    that also occur in at least ``min_docs - 1`` OTHER documents.
+
+    Shape at 100 TB: per-doc distinct shingles (row-local), one shuffle
+    keyed by shingle string for the document-frequency count (map-side
+    partial combine absorbs hot boilerplate shingles), one shuffle back to
+    doc_id for the per-doc fraction. Returns
+    (doc_id, n_shingles, n_shared, shared_frac) for every input document —
+    documents shorter than ``k`` tokens get (0, 0, 0.0).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("s"),
+    )
+    # shingles are distinct per doc, so count(*) per shingle == doc frequency
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+    per_doc = (
+        sh.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df_") >= min_docs).cast("long")).alias("n_shared"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_shared") / F.col("n_shingles").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+    )
+
+
+def hash_split(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic md5 train/val/test split with per-split stats.
+
+    The split key is the first hex digit of md5(id-as-string): '0'-'b'
+    train (12/16), 'c'-'d' val (2/16), 'e'-'f' test (2/16) — stable under
+    re-runs, resharding and cluster size, which is the property a training
+    pipeline needs (a random() split is neither reproducible nor
+    consistent across retries). Pure codegen: md5 + substring + one
+    hash aggregate.
+    """
+    c = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    split = (
+        F.when(c.isin(*"0123456789ab"), F.lit("train"))
+        .when(c.isin("c", "d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        df.select(split.alias("split"), token_count(F.col(text_col)).alias("nt"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens_total"),
+        )
+    )
+
+
+def token_frequency(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
+    """Corpus-level token frequency, top ``top_n`` by (count desc, token asc).
+
+    Explode -> hash aggregate (map-side combine collapses each partition to
+    its distinct vocabulary before the shuffle) -> distributed top-k
+    (TakeOrderedAndProject — each partition keeps only top_n candidates, the
+    driver merges top_n * n_partitions rows, never the full vocabulary)."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def host_stats(pages: DataFrame) -> DataFrame:
+    """Per-host aggregation over a crawl ``pages`` table (url, text, lang):
+    page count, distinct languages, total extracted tokens. The host-level
+    rollup every crawl pipeline needs for domain blocklists and sampling
+    weights. regexp_extract + one hash aggregate; lang cardinality is tiny
+    so count(distinct) is a cheap two-phase expand."""
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
+    return (
+        pages.select(
+            host.alias("host"),
+            F.col("lang"),
+            token_count(F.col("text")).alias("nt"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("nt").alias("n_tokens_total"),
+        )
+    )
+
+
 def simhash32_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash with md5-derived bits, emitted as a '0'/'1' string.
 
