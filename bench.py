@@ -109,6 +109,17 @@ def run_bench(spark) -> dict:
     t, _ = _time(lambda: minhash_dedup(docs).count())
     queries["minhash_dedup"] = t
 
+    from graphriccicurvature_spark.operators.textstats import (
+        corpus_dup_passages,
+        repetition_stats,
+    )
+
+    t, _ = _time(lambda: repetition_stats(docs).count())
+    queries["repetition_stats"] = t
+
+    t, _ = _time(lambda: corpus_dup_passages(docs).count())
+    queries["corpus_dup_passages"] = t
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
