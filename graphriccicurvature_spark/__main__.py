@@ -1,0 +1,228 @@
+"""spark-submit entry point (north-rule deployment surface).
+
+Run any engine operator over parquet inputs and write a parquet result:
+
+    # on a cluster — master/executors come from spark-submit, not from us
+    spark-submit --py-files graphriccicurvature_spark.zip \
+        -m graphriccicurvature_spark curvature \
+        --edges s3://bucket/edges.parquet --output s3://bucket/kappa \
+        --method OTDSinkhornMix --mode ego
+
+    # locally
+    python -m graphriccicurvature_spark pagerank \
+        --docs /root/testdata/sf0.001 --output /tmp/pr --iterations 10
+
+Graph operators accept either ``--edges`` (a parquet of src,dst[,weight]),
+``--docs`` (a testdata-shaped dir; the F2 link graph is derived from
+documents.parquet), or ``--pages`` (a crawl pages parquet: url,html,...;
+edges come from link extraction — the BASELINE.json input path). Text
+operators take ``--docs`` (documents.parquet with doc_id,text).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def build_session(master: str | None, shuffle_partitions: int | None) -> SparkSession:
+    """Engine-tuned session that DEFERS cluster topology to spark-submit.
+
+    Unlike session.get_spark (tests/bench: pins master + driver memory for a
+    known local box), this only sets engine-semantic configs — Arrow batch
+    sizing and AQE skew handling — and sets master only when the caller asks
+    or when no spark.master exists (plain ``python -m`` runs). A builder
+    .master() would silently override ``spark-submit --master yarn``.
+    """
+    from pyspark import SparkConf
+
+    builder = (
+        SparkSession.builder.appName("graphriccicurvature-spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fat ego-gather rows: cap Arrow batches well below the 10k default
+        # (see session.py for the OOM rationale)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+    )
+    if shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if master:
+        builder = builder.master(master)
+    elif not SparkConf().contains("spark.master"):
+        builder = builder.master(os.environ.get("SPARK_MASTER", "local[*]"))
+    return builder.getOrCreate()
+
+
+def _load_edges(spark: SparkSession, args) -> DataFrame:
+    from .sources.edges import canonicalize, edges_from_documents, prepare_edges
+
+    if args.edges:
+        e = prepare_edges(spark.read.parquet(args.edges))
+    elif args.pages:
+        from pyspark.sql import functions as F
+
+        from .sources.extract import extract_links
+
+        pages = spark.read.parquet(args.pages)
+        links = (
+            pages.select(
+                F.xxhash64("url").alias("src"),
+                F.explode(extract_links("html")).alias("dst_url"),
+            )
+            .select("src", F.xxhash64("dst_url").alias("dst"))
+            .filter("src <> dst")
+            .dropDuplicates(["src", "dst"])
+        )
+        e = prepare_edges(links)
+    elif args.docs:
+        e = edges_from_documents(spark, args.docs)
+    else:
+        sys.exit("graph operators need one of --edges / --docs / --pages")
+    return e if args.directed else canonicalize(e)
+
+
+def _load_docs(spark: SparkSession, args) -> DataFrame:
+    if not args.docs:
+        sys.exit("text operators need --docs (dir containing documents.parquet)")
+    path = args.docs
+    if not path.endswith(".parquet"):
+        path = os.path.join(path, "documents.parquet")
+    return spark.read.parquet(path)
+
+
+def run_op(spark: SparkSession, args) -> DataFrame:
+    op = args.op
+    if op == "curvature":
+        from .operators.ollivier import ricci_curvature_edges
+
+        return ricci_curvature_edges(
+            _load_edges(spark, args), alpha=args.alpha, method=args.method,
+            mode=args.mode, directed=args.directed,
+        )
+    if op == "forman":
+        from .operators.forman import forman_curvature
+
+        return forman_curvature(_load_edges(spark, args), args.forman_method)
+    if op == "flow":
+        from .operators.flow import ricci_flow
+
+        return ricci_flow(
+            _load_edges(spark, args), iterations=args.iterations, delta=args.delta,
+            mode=args.mode, method=args.method, alpha=args.alpha,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    if op == "community":
+        from .operators.community import ricci_community
+
+        _, clustering = ricci_community(
+            _load_edges(spark, args),
+            flow_kwargs={"mode": args.mode, "method": args.method, "alpha": args.alpha},
+        )
+        return clustering
+    if op == "pagerank":
+        from .operators.pagerank import pagerank
+
+        return pagerank(
+            _load_edges(spark, args), num_iterations=args.iterations,
+            directed=args.directed,
+        )
+    if op == "components":
+        from .operators.components import connected_components
+
+        return connected_components(_load_edges(spark, args))
+    if op == "lpa":
+        from .operators.labelprop import label_propagation
+
+        return label_propagation(
+            _load_edges(spark, args), max_iter=args.iterations, directed=args.directed
+        )
+    if op == "triangles":
+        from .operators.triangles import triangle_counts
+
+        return triangle_counts(_load_edges(spark, args))
+    if op == "exact-dedup":
+        from .operators.dedup import exact_dedup
+
+        return exact_dedup(_load_docs(spark, args))
+    if op == "minhash-dedup":
+        from .operators.dedup import minhash_dedup
+
+        return minhash_dedup(_load_docs(spark, args))
+    if op == "repetition":
+        from .operators.textstats import repetition_stats
+
+        return repetition_stats(_load_docs(spark, args))
+    if op == "corpus-dup":
+        from .operators.textstats import corpus_dup_passages
+
+        return corpus_dup_passages(_load_docs(spark, args))
+    if op == "quality":
+        from .operators.textstats import quality_score
+
+        return quality_score(_load_docs(spark, args))
+    if op == "langid":
+        from .operators.textstats import language_id
+
+        return language_id(_load_docs(spark, args))
+    if op == "token-freq":
+        from .operators.textstats import token_frequency
+
+        return token_frequency(_load_docs(spark, args), top_n=args.top_n)
+    if op == "hash-split":
+        from .operators.textstats import hash_split
+
+        return hash_split(_load_docs(spark, args))
+    if op == "host-stats":
+        from .operators.textstats import host_stats
+
+        if not args.pages:
+            sys.exit("host-stats needs --pages")
+        return host_stats(spark.read.parquet(args.pages))
+    sys.exit(f"unknown op {op!r}")
+
+
+OPS = (
+    "curvature forman flow community pagerank components lpa triangles "
+    "exact-dedup minhash-dedup repetition corpus-dup quality langid "
+    "token-freq hash-split host-stats"
+).split()
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="graphriccicurvature_spark")
+    p.add_argument("op", choices=OPS)
+    p.add_argument("--edges", help="parquet of (src, dst[, weight])")
+    p.add_argument("--docs", help="dir with documents.parquet (or a parquet path)")
+    p.add_argument("--pages", help="parquet of crawl pages (url, html, ...)")
+    p.add_argument("--output", help="output parquet dir; omit to print 20 rows")
+    p.add_argument("--master", help="override only for local runs; on a cluster "
+                   "leave unset so spark-submit --master wins")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--directed", action="store_true")
+    p.add_argument("--mode", default="ego", choices=["ego", "component"],
+                   help="ego is the scale path; component is exact-parity for small graphs")
+    p.add_argument("--method", default="OTDSinkhornMix",
+                   choices=["OTD", "ATD", "Sinkhorn", "OTDSinkhornMix"])
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--forman-method", default="augmented", choices=["1d", "augmented"])
+    p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--delta", type=float, default=1e-4)
+    p.add_argument("--checkpoint-dir", help="flow resume/checkpoint dir")
+    p.add_argument("--top-n", type=int, default=100)
+    args = p.parse_args(argv)
+
+    spark = build_session(args.master, args.shuffle_partitions)
+    out = run_op(spark, args)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        out.show(20, truncate=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""spark-submit CLI surface (graphriccicurvature_spark.__main__)."""
+
+import pytest
+
+from graphriccicurvature_spark.__main__ import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cli_pagerank_writes_parquet(spark, tmp_path):
+    out = tmp_path / "pr"
+    main(["pagerank", "--docs", SF, "--output", str(out), "--iterations", "3"])
+    df = spark.read.parquet(str(out))
+    assert df.columns == ["node", "pagerank"]
+    assert df.count() > 0
+    assert abs(df.groupBy().sum("pagerank").first()[0] - 1.0) < 1e-6
+
+
+def test_cli_repetition_stats(spark, tmp_path):
+    out = tmp_path / "rep"
+    main(["repetition", "--docs", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert "top_2gram_char_frac" in df.columns
+    assert df.count() == 500
+
+
+def test_cli_requires_input(spark):
+    with pytest.raises(SystemExit):
+        main(["pagerank"])
+
+
+def test_cli_curvature_component_small(spark, tmp_path):
+    out = tmp_path / "kappa"
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    epath = tmp_path / "edges"
+    edges.write.parquet(str(epath))
+    main([
+        "curvature", "--edges", str(epath), "--output", str(out),
+        "--mode", "component", "--method", "OTD",
+    ])
+    df = spark.read.parquet(str(out))
+    assert df.count() == 4
+    assert "ricci_curvature" in df.columns
