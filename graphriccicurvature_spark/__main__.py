@@ -57,6 +57,34 @@ def build_session(master: str | None, shuffle_partitions: int | None) -> SparkSe
     return builder.getOrCreate()
 
 
+def _autodetect(args) -> None:
+    """Map ``--input`` onto the typed flags by schema (run_job.py heritage):
+    (src, dst) -> edges, html -> pages, doc_id -> documents."""
+    if not args.input:
+        return
+    import pyarrow.parquet as pq
+
+    path = args.input
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "documents.parquet")):
+        args.docs = args.docs or path
+        return
+    probe = path
+    if os.path.isdir(probe):
+        parts = [f for f in sorted(os.listdir(probe)) if f.endswith(".parquet")]
+        if not parts:
+            sys.exit(f"no parquet files under --input {path}")
+        probe = os.path.join(probe, parts[0])
+    cols = set(pq.ParquetFile(probe).schema_arrow.names)
+    if {"src", "dst"} <= cols:
+        args.edges = args.edges or path
+    elif "html" in cols:
+        args.pages = args.pages or path
+    elif "doc_id" in cols:
+        args.docs = args.docs or path
+    else:
+        sys.exit(f"--input {path}: no (src,dst) / pages(html) / documents(doc_id) schema: {sorted(cols)}")
+
+
 def _load_edges(spark: SparkSession, args) -> DataFrame:
     from .sources.edges import canonicalize, edges_from_documents, prepare_edges
 
@@ -79,7 +107,10 @@ def _load_edges(spark: SparkSession, args) -> DataFrame:
         )
         e = prepare_edges(links)
     elif args.docs:
-        e = edges_from_documents(spark, args.docs)
+        d = args.docs
+        if d.endswith(".parquet"):  # file path -> containing sf dir
+            d = os.path.dirname(d.rstrip("/"))
+        e = edges_from_documents(spark, d)
     else:
         sys.exit("graph operators need one of --edges / --docs / --pages")
     return e if args.directed else canonicalize(e)
@@ -89,7 +120,7 @@ def _load_docs(spark: SparkSession, args) -> DataFrame:
     if not args.docs:
         sys.exit("text operators need --docs (dir containing documents.parquet)")
     path = args.docs
-    if not path.endswith(".parquet"):
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "documents.parquet")):
         path = os.path.join(path, "documents.parquet")
     return spark.read.parquet(path)
 
@@ -102,6 +133,7 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         return ricci_curvature_edges(
             _load_edges(spark, args), alpha=args.alpha, method=args.method,
             mode=args.mode, directed=args.directed,
+            exp_power=args.exp_power, nbr_topk=args.nbr_topk,
         )
     if op == "forman":
         from .operators.forman import forman_curvature
@@ -113,6 +145,7 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         return ricci_flow(
             _load_edges(spark, args), iterations=args.iterations, delta=args.delta,
             mode=args.mode, method=args.method, alpha=args.alpha,
+            exp_power=args.exp_power, nbr_topk=args.nbr_topk,
             checkpoint_dir=args.checkpoint_dir,
         )
     if op == "community":
@@ -195,6 +228,8 @@ OPS = (
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="graphriccicurvature_spark")
     p.add_argument("op", choices=OPS)
+    p.add_argument("--input", help="parquet path/dir; schema auto-detected "
+                   "(src,dst -> edges; html -> pages; doc_id -> documents)")
     p.add_argument("--edges", help="parquet of (src, dst[, weight])")
     p.add_argument("--docs", help="dir with documents.parquet (or a parquet path)")
     p.add_argument("--pages", help="parquet of crawl pages (url, html, ...)")
@@ -208,12 +243,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--method", default="OTDSinkhornMix",
                    choices=["OTD", "ATD", "Sinkhorn", "OTDSinkhornMix"])
     p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--exp-power", type=float, default=2.0)
+    p.add_argument("--nbr-topk", type=int, default=3000)
     p.add_argument("--forman-method", default="augmented", choices=["1d", "augmented"])
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--delta", type=float, default=1e-4)
     p.add_argument("--checkpoint-dir", help="flow resume/checkpoint dir")
     p.add_argument("--top-n", type=int, default=100)
     args = p.parse_args(argv)
+    _autodetect(args)
 
     spark = build_session(args.master, args.shuffle_partitions)
     out = run_op(spark, args)

@@ -29,6 +29,27 @@ def test_cli_requires_input(spark):
         main(["pagerank"])
 
 
+def test_cli_input_autodetect_documents(spark, tmp_path):
+    out = tmp_path / "cc"
+    main(["components", "--input", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert {"node", "component"} <= set(df.columns)
+    assert df.count() > 0
+
+
+def test_run_job_shim(spark, tmp_path):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"))
+    import run_job
+
+    out = tmp_path / "tri"
+    run_job.main(["--job", "triangles", "--input", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert df.count() > 0
+
+
 def test_cli_curvature_component_small(spark, tmp_path):
     out = tmp_path / "kappa"
     edges = spark.createDataFrame(
