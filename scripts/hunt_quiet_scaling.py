@@ -41,22 +41,38 @@ def _log(msg: str) -> None:
     print(line, flush=True)
 
 
-def _read_steal() -> tuple[float, float]:
+def _read_steal_percpu() -> list[tuple[float, float]]:
+    """(busy, steal) ticks per cpu — same attribution as bench.py
+    r4-sandwich-3: steal on near-idle vCPUs (timer ticks on a shared host)
+    cannot slow the work and is not charged to it."""
+    out = []
     with open("/proc/stat") as f:
-        v = [float(x) for x in f.readline().split()[1:]]
-    return (v[7] if len(v) > 7 else 0.0), v[0] + v[1] + v[2]
+        for line in f:
+            if not line.startswith("cpu") or line.startswith("cpu "):
+                continue
+            v = [float(x) for x in line.split()[1:]]
+            out.append((v[0] + v[1] + v[2], v[7] if len(v) > 7 else 0.0))
+    return out
 
 
 def probe() -> float:
-    """Steal as a share of demanded CPU during ~PROBE_SECS of 1-core spin."""
-    s0, b0 = _read_steal()
-    t_end = time.time() + PROBE_SECS
+    """Steal share of demanded CPU on ACTIVE cpus during a 1-core spin."""
+    p0 = _read_steal_percpu()
+    t0 = time.time()
+    t_end = t0 + PROBE_SECS
     x = 0
     while time.time() < t_end:
         for i in range(2_000_000):
             x += i * i
-    s1, b1 = _read_steal()
-    steal, busy = s1 - s0, b1 - b0
+    wall = time.time() - t0
+    p1 = _read_steal_percpu()
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    busy = steal = 0.0
+    for (b0, s0), (b1, s1) in zip(p0, p1):
+        db, ds = b1 - b0, s1 - s0
+        if db > 0.05 * wall * hz:
+            busy += db
+            steal += ds
     return steal / max(busy + steal, 1.0)
 
 
