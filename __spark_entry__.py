@@ -536,6 +536,55 @@ def _q_host_stats(spark, sf):
     return host_stats(_pages_of(spark, sf))
 
 
+def _q_ppm_decode(spark, sf):
+    """Real image decode under a value-level oracle: deterministic PPM (P6)
+    payloads are synthesized per doc_id, round-tripped through
+    multimodal.encode_ppm -> decode_image (the pure-numpy decoder), and
+    reduced to exact integer channel sums that DuckDB re-derives by
+    enumerating the same pixel formula — a hash match proves the decoder
+    recovered every pixel byte-for-byte."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _docs(spark, sf).select("doc_id")
+
+    def gen_and_decode(batches):
+        from graphriccicurvature_spark.operators.multimodal import (
+            decode_image,
+            encode_ppm,
+        )
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 5, 6 + i % 3
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                img = np.stack(
+                    [
+                        (i + 3 * x + 7 * y) % 256,
+                        (2 * i + 5 * x + 0 * y) % 256,
+                        (i + 0 * x + 11 * y) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                dec = decode_image(encode_ppm(img))
+                s = dec.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                rows["doc_id"].append(i)
+                rows["width"].append(dec.shape[1])
+                rows["height"].append(dec.shape[0])
+                rows["sum_r"].append(int(s[0]))
+                rows["sum_g"].append(int(s[1]))
+                rows["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen_and_decode,
+        "doc_id long, width long, height long, sum_r long, sum_g long, sum_b long",
+    )
+
+
 _EMB_DIM = 64  # testdata embeddings.parquet dimension (TESTDATA.md)
 
 
@@ -724,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_lsh": _q_ann_lsh,
         "events_window": _q_events_window,
         "binary_meta": _q_binary_meta,
+        "ppm_decode": _q_ppm_decode,
         "tpch_pricing": _q_tpch_pricing,
         "tpch_revenue_topk": _q_tpch_revenue,
     }
@@ -1120,6 +1170,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
             FROM documents
         ) GROUP BY split
+    """
+    sql["ppm_decode"] = """
+        WITH px AS (
+            SELECT d.doc_id, 8 + (d.doc_id % 5) AS w, 6 + (d.doc_id % 3) AS h,
+                   x.x, y.y
+            FROM documents d,
+                 LATERAL (SELECT unnest(range(0, 8 + (d.doc_id % 5))) AS x) x,
+                 LATERAL (SELECT unnest(range(0, 6 + (d.doc_id % 3))) AS y) y
+        )
+        SELECT doc_id, max(w) AS width, max(h) AS height,
+               sum((doc_id + 3*x + 7*y) % 256) AS sum_r,
+               sum((2*doc_id + 5*x) % 256) AS sum_g,
+               sum((doc_id + 11*y) % 256) AS sum_b
+        FROM px GROUP BY doc_id
     """
     sql["token_freq_top100"] = f"""
         WITH {_TOKS},

@@ -2,11 +2,19 @@
 
 Image/audio/video payloads are treated as opaque ``binary`` columns with a
 typed metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
-partition-friendly mapInPandas feature extraction — is real and tested; the
-actual codec step is STUBBED (decode libraries are not in this container)
-behind ``decode_stub`` which raises NotImplementedError unless
-``fake=True``, in which case it produces a deterministic fake decode so the
-downstream feature pipeline stays testable.
+partition-friendly mapInPandas feature extraction — is real and tested.
+
+Decode support is two-tier:
+  - **PPM (P6) images decode for real** — the format is raw RGB behind a
+    text header, so a pure-numpy decoder needs no codec libraries
+    (:func:`decode_image`, :func:`image_features`). Corrupt/foreign
+    payloads yield null features instead of failing the job — at crawl
+    scale corrupt images are routine, and one bad row must not kill a
+    100 TB stage.
+  - Compressed formats (JPEG/PNG/audio/video) remain STUBBED behind
+    ``decode_stub`` (codec libraries are not in this container), which
+    raises NotImplementedError unless ``fake=True`` (deterministic fake
+    decode keeping the downstream pipeline testable).
 """
 
 from __future__ import annotations
@@ -57,6 +65,118 @@ def decode_stub(payload: bytes, modality: str = "image", fake: bool = False) -> 
         )
     h = hashlib.sha256(payload or b"").digest()
     return np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) array -> binary PPM (P6). Test/synthesis helper."""
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Pure-numpy image decode. Supports PPM P6 (8-bit RGB) — raw pixels
+    behind a text header, so no codec library is required. Returns a
+    uint8 array of shape (h, w, 3). Other/corrupt payloads raise
+    (ValueError for malformed PPM, NotImplementedError for foreign
+    formats) — callers in the batch path map failures to null features."""
+    if not payload or payload[:2] != b"P6":
+        raise NotImplementedError(
+            "only PPM (P6) decodes without codec libraries; got "
+            f"magic {payload[:2]!r}"
+        )
+    # header: P6 <w> <h> <maxval>, tokens separated by whitespace, with
+    # optional '#' comment lines; pixel data starts after ONE whitespace
+    # byte following maxval
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(payload[start:pos])
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval {maxval})")
+    need = w * h * 3
+    data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    if data.size < need:
+        raise ValueError("truncated PPM pixel data")
+    return data.reshape(h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (pure indexing, any ratio)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return img[yi][:, xi]
+
+
+def image_feature_vector(img: np.ndarray, hist_bins: int = 8) -> np.ndarray:
+    """Per-channel means + luma histogram (normalized), float32."""
+    means = img.reshape(-1, 3).mean(axis=0) / 255.0
+    luma = img.reshape(-1, 3).astype(np.float32) @ np.array(
+        [0.299, 0.587, 0.114], dtype=np.float32
+    )
+    hist, _ = np.histogram(luma, bins=hist_bins, range=(0.0, 255.0))
+    hist = hist.astype(np.float32) / max(luma.size, 1)
+    return np.concatenate([means.astype(np.float32), hist])
+
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("features", ArrayType(FloatType())),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def image_features(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    hist_bins: int = 8,
+    resize_to: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Real decode -> (optional resize) -> feature extraction for PPM
+    payloads over mapInPandas. Undecodable payloads produce
+    (null features, decode_error message) rows — never a failed task."""
+
+    def extract(batches):
+        for pdf in batches:
+            ids, ws, hs, feats, errs = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                ids.append(int(i))
+                try:
+                    img = decode_image(bytes(b) if b is not None else b"")
+                    if resize_to is not None:
+                        img = resize_nearest(img, *resize_to)
+                    ws.append(img.shape[1])
+                    hs.append(img.shape[0])
+                    feats.append(image_feature_vector(img, hist_bins).tolist())
+                    errs.append(None)
+                except (NotImplementedError, ValueError) as e:
+                    ws.append(0)
+                    hs.append(0)
+                    feats.append(None)
+                    errs.append(str(e)[:120])
+            yield pd.DataFrame(
+                {"id": ids, "width": ws, "height": hs, "features": feats, "decode_error": errs}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
 
 
 def binary_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
