@@ -718,6 +718,44 @@ def _q_tpch_revenue(spark, sf):
     return rev.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
 
 
+_HITS_ITERS = 3
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+_COCIT_MIN_SHARED = 2
+_COCIT_CAP = 100
+
+
+def _q_hits(spark, sf):
+    """Kleinberg hub/authority scores, 3 L1-normalized power iterations
+    (linkgraph.py — webtext crawl-prioritization operator)."""
+    from graphriccicurvature_spark.operators.linkgraph import hits
+
+    e = edges_from_documents(spark, sf)
+    h = hits(e, num_iterations=_HITS_ITERS, directed=True)
+    return h.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
+def _q_k_core(spark, sf):
+    """Bounded k-core peel (k=3, 4 rounds) on the canonical undirected
+    graph; output = surviving nodes + induced-subgraph degree."""
+    from graphriccicurvature_spark.operators.linkgraph import k_core
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return k_core(und, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _q_cocitation(spark, sf):
+    """Co-citation Jaccard pairs (related-page discovery): targets sharing
+    >= 2 citing sources, out-degree-capped sources."""
+    from graphriccicurvature_spark.operators.linkgraph import cocitation_jaccard
+
+    e = edges_from_documents(spark, sf)
+    p = cocitation_jaccard(e, min_shared=_COCIT_MIN_SHARED, max_out_degree=_COCIT_CAP)
+    return p.select("a", "b", "shared", F.round("jaccard", 6).alias("jaccard"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_build": _q_edges,
@@ -776,6 +814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppm_decode": _q_ppm_decode,
         "tpch_pricing": _q_tpch_pricing,
         "tpch_revenue_topk": _q_tpch_revenue,
+        "hits_3": _q_hits,
+        "k_core_3": _q_k_core,
+        "cocitation_jaccard": _q_cocitation,
     }
 
 
@@ -1779,5 +1820,94 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC
             ) AS rank FROM rev
         ) WHERE rank <= 3
+    """
+    # HITS: unrolled L1-normalized power iterations (linkgraph.hits twin)
+    hits_ctes = [
+        """
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        )""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS h FROM nodes)",
+    ]
+    for i in range(1, _HITS_ITERS + 1):
+        hits_ctes += [
+            f"""a{i}r AS (
+                SELECT e.dst AS node, sum(e.weight * p.h) AS x
+                FROM edges e JOIN h{i-1} p ON p.node = e.src GROUP BY e.dst
+            )""",
+            f"""a{i} AS (
+                SELECT n.node, coalesce(r.x, 0) / (SELECT sum(x) FROM a{i}r) AS a
+                FROM nodes n LEFT JOIN a{i}r r USING (node)
+            )""",
+            f"""h{i}r AS (
+                SELECT e.src AS node, sum(e.weight * q.a) AS x
+                FROM edges e JOIN a{i} q ON q.node = e.dst GROUP BY e.src
+            )""",
+            f"""h{i} AS (
+                SELECT n.node, coalesce(r.x, 0) / (SELECT sum(x) FROM h{i}r) AS h
+                FROM nodes n LEFT JOIN h{i}r r USING (node)
+            )""",
+        ]
+    sql["hits_3"] = (
+        f"WITH {_E}, "
+        + ", ".join(hits_ctes)
+        + f"""
+        SELECT h.node, round(h.h, 6) AS hub, round(a.a, 6) AS authority
+        FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a USING (node)
+    """
+    )
+    # k-core: unrolled bounded peel (linkgraph.k_core rounds-mode twin).
+    # e{r} is referenced 3x per round; MATERIALIZED stops DuckDB's CTE
+    # inlining from re-expanding the whole chain 3^rounds times.
+    kc_ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        kc_ctes += [
+            f"""s{r} AS (
+                SELECT src, dst FROM e{r-1}
+                UNION ALL SELECT dst, src FROM e{r-1}
+            )""",
+            f"""g{r} AS (
+                SELECT src AS node, count(*) AS degree FROM s{r} GROUP BY src
+            )""",
+            f"n{r} AS (SELECT node FROM g{r} WHERE degree >= {_KCORE_K})",
+            f"""e{r} AS MATERIALIZED (
+                SELECT e.src, e.dst FROM e{r-1} e
+                JOIN n{r} x ON x.node = e.src
+                JOIN n{r} y ON y.node = e.dst
+            )""",
+        ]
+    sql["k_core_3"] = (
+        f"WITH {_E}, {_UND}, "
+        + ", ".join(kc_ctes)
+        + f""",
+        sF AS (
+            SELECT src, dst FROM e{_KCORE_ROUNDS}
+            UNION ALL SELECT dst, src FROM e{_KCORE_ROUNDS}
+        )
+        SELECT src AS node, count(*) AS degree FROM sF GROUP BY src
+    """
+    )
+    sql["cocitation_jaccard"] = f"""
+        WITH {_E},
+        ok AS (
+            SELECT src FROM edges GROUP BY src HAVING count(*) <= {_COCIT_CAP}
+        ),
+        ce AS (SELECT e.src, e.dst FROM edges e JOIN ok USING (src)),
+        ind AS (SELECT dst AS node, count(*) AS indeg FROM ce GROUP BY dst),
+        pairs AS (
+            SELECT e1.dst AS a, e2.dst AS b, count(*) AS shared
+            FROM ce e1 JOIN ce e2 ON e1.src = e2.src AND e1.dst < e2.dst
+            GROUP BY e1.dst, e2.dst
+            HAVING count(*) >= {_COCIT_MIN_SHARED}
+        )
+        SELECT p.a, p.b, p.shared,
+               round(CAST(p.shared AS DOUBLE)
+                     / (ia.indeg + ib.indeg - p.shared), 6) AS jaccard
+        FROM pairs p
+        JOIN ind ia ON ia.node = p.a
+        JOIN ind ib ON ib.node = p.b
     """
     return sql
