@@ -120,6 +120,21 @@ def run_bench(spark) -> dict:
     t, _ = _time(lambda: corpus_dup_passages(docs).count())
     queries["corpus_dup_passages"] = t
 
+    from graphriccicurvature_spark.operators.linkgraph import (
+        cocitation_jaccard,
+        hits,
+        k_core,
+    )
+
+    t, _ = _time(lambda: hits(edges, num_iterations=10, directed=True).count())
+    queries["hits_10it"] = t
+
+    t, _ = _time(lambda: k_core(und, k=3).count())
+    queries["k_core_3_fixpoint"] = t
+
+    t, _ = _time(lambda: cocitation_jaccard(edges, min_shared=2).count())
+    queries["cocitation_jaccard"] = t
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )

@@ -215,13 +215,31 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         if not args.pages:
             sys.exit("host-stats needs --pages")
         return host_stats(spark.read.parquet(args.pages))
+    if op == "hits":
+        from .operators.linkgraph import hits
+
+        return hits(
+            _load_edges(spark, args), num_iterations=args.iterations,
+            directed=args.directed,
+        )
+    if op == "k-core":
+        from .operators.linkgraph import k_core
+        from .sources.edges import canonicalize
+
+        return k_core(canonicalize(_load_edges(spark, args)), k=args.k)
+    if op == "cocitation":
+        from .operators.linkgraph import cocitation_jaccard
+
+        return cocitation_jaccard(
+            _load_edges(spark, args), min_shared=args.min_shared
+        )
     sys.exit(f"unknown op {op!r}")
 
 
 OPS = (
     "curvature forman flow community pagerank components lpa triangles "
     "exact-dedup minhash-dedup repetition corpus-dup quality langid "
-    "token-freq hash-split host-stats"
+    "token-freq hash-split host-stats hits k-core cocitation"
 ).split()
 
 
@@ -250,6 +268,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--delta", type=float, default=1e-4)
     p.add_argument("--checkpoint-dir", help="flow resume/checkpoint dir")
     p.add_argument("--top-n", type=int, default=100)
+    p.add_argument("--k", type=int, default=3, help="k-core threshold")
+    p.add_argument("--min-shared", type=int, default=2,
+                   help="cocitation: min common citing sources per pair")
     args = p.parse_args(argv)
     _autodetect(args)
 

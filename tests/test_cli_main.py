@@ -65,3 +65,23 @@ def test_cli_curvature_component_small(spark, tmp_path):
     df = spark.read.parquet(str(out))
     assert df.count() == 4
     assert "ricci_curvature" in df.columns
+
+
+def test_cli_hits_and_kcore_and_cocitation(spark, tmp_path):
+    out_h = tmp_path / "hits"
+    main(["hits", "--docs", SF, "--output", str(out_h), "--iterations", "2"])
+    dfh = spark.read.parquet(str(out_h))
+    assert set(dfh.columns) == {"node", "hub", "authority"}
+    assert abs(dfh.groupBy().sum("hub").first()[0] - 1.0) < 1e-6
+
+    out_k = tmp_path / "kcore"
+    main(["k-core", "--docs", SF, "--output", str(out_k), "--k", "2"])
+    dfk = spark.read.parquet(str(out_k))
+    assert set(dfk.columns) == {"node", "degree"}
+    assert dfk.filter("degree < 2").count() == 0  # fixpoint property
+
+    out_c = tmp_path / "cocit"
+    main(["cocitation", "--docs", SF, "--output", str(out_c), "--min-shared", "1"])
+    dfc = spark.read.parquet(str(out_c))
+    assert set(dfc.columns) == {"a", "b", "shared", "jaccard"}
+    assert dfc.count() > 0
