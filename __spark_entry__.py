@@ -723,6 +723,10 @@ _KCORE_K = 3
 _KCORE_ROUNDS = 4
 _COCIT_MIN_SHARED = 2
 _COCIT_CAP = 100
+_PPR_ITERS = 5
+_PPR_SEED_MOD = 13
+_AA_MIN_COMMON = 2
+_AA_CAP = 100
 
 
 def _q_hits(spark, sf):
@@ -754,6 +758,75 @@ def _q_cocitation(spark, sf):
     e = edges_from_documents(spark, sf)
     p = cocitation_jaccard(e, min_shared=_COCIT_MIN_SHARED, max_out_degree=_COCIT_CAP)
     return p.select("a", "b", "shared", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_ppr(spark, sf):
+    """Personalized PageRank, 5 bounded iterations; seed set = nodes with
+    id % 13 == 0 (TrustRank-style seeded reset + dangling-to-seeds)."""
+    from graphriccicurvature_spark.operators.linkgraph import personalized_pagerank
+
+    e = edges_from_documents(spark, sf)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % _PPR_SEED_MOD == 0)
+    r = personalized_pagerank(e, seeds, damping=_DAMP, num_iterations=_PPR_ITERS)
+    return r.select("node", F.round("ppr", 6).alias("ppr"))
+
+
+def _q_adamic_adar(spark, sf):
+    """Adamic-Adar link prediction: non-adjacent pairs with >= 2 common
+    neighbors, scored sum(1/ln(deg(u))); hub cap 100."""
+    from graphriccicurvature_spark.operators.linkgraph import adamic_adar
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    p = adamic_adar(und, min_common=_AA_MIN_COMMON, max_degree=_AA_CAP)
+    return p.select(
+        "a", "b", "common_neighbors", F.round("adamic_adar", 6).alias("adamic_adar")
+    )
+
+
+def _q_assortativity(spark, sf):
+    """Degree assortativity coefficient (Pearson over symmetrized endpoint
+    degrees) — the standard web-graph (dis)assortativity scalar."""
+    from graphriccicurvature_spark.operators.linkgraph import degree_assortativity
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return degree_assortativity(und).select(
+        F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+def _q_reciprocity(spark, sf):
+    """Directed-arc reciprocity: fraction of arcs with a reverse arc."""
+    from graphriccicurvature_spark.operators.linkgraph import reciprocity
+
+    r = reciprocity(edges_from_documents(spark, sf))
+    return r.select(
+        "n_arcs", "n_reciprocal", F.round("reciprocity", 6).alias("reciprocity")
+    )
+
+
+def _q_avg_neighbor_degree(spark, sf):
+    """Per-node mean neighbor degree (k_nn, Barrat 2004, unweighted)."""
+    from graphriccicurvature_spark.operators.linkgraph import average_neighbor_degree
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return average_neighbor_degree(und).select(
+        "node", "degree", F.round("avg_neighbor_degree", 6).alias("avg_neighbor_degree")
+    )
+
+
+def _q_clustering(spark, sf):
+    """Per-node local clustering coefficient over the canonical undirected
+    graph (degree-ordered triangle counter underneath)."""
+    from graphriccicurvature_spark.operators.linkgraph import clustering_coefficient
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    c = clustering_coefficient(und)
+    return c.select("node", "degree", F.round("clustering", 6).alias("clustering"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -815,6 +888,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": _q_tpch_pricing,
         "tpch_revenue_topk": _q_tpch_revenue,
         "hits_3": _q_hits,
+        "ppr_5": _q_ppr,
+        "adamic_adar": _q_adamic_adar,
+        "clustering_coeff": _q_clustering,
+        "assortativity": _q_assortativity,
+        "reciprocity": _q_reciprocity,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
         "k_core_3": _q_k_core,
         "cocitation_jaccard": _q_cocitation,
     }
@@ -1909,5 +1988,127 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs p
         JOIN ind ia ON ia.node = p.a
         JOIN ind ib ON ib.node = p.b
+    """
+    # personalized pagerank: recursive CTE, p-form transition edges.
+    # Zero-p self-loops keep every node in the recursion (non-seed nodes
+    # with no in-edges would otherwise fall out of the group-by and the
+    # output); dangling mass routes to seeds with p = 1/|S|.
+    sql["ppr_5"] = f"""
+        WITH RECURSIVE {_E},
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        seeds AS (SELECT node FROM nodes WHERE node % {_PPR_SEED_MOD} = 0),
+        sn AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM seeds),
+        svec AS (
+            SELECT n.node,
+                   CASE WHEN s.node IS NULL THEN 0.0
+                        ELSE 1.0 / (SELECT m FROM sn) END AS s
+            FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        ),
+        outdeg AS (
+            SELECT src, CAST(sum(weight) AS DOUBLE) AS wout FROM edges GROUP BY src
+        ),
+        full_edges AS (
+            SELECT e.src, e.dst, e.weight / o.wout AS p
+            FROM edges e JOIN outdeg o USING (src)
+            UNION ALL
+            SELECT d.node AS src, s.node AS dst, 1.0 / (SELECT m FROM sn) AS p
+            FROM (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)) d
+            CROSS JOIN seeds s
+            UNION ALL
+            SELECT node AS src, node AS dst, 0.0 AS p FROM nodes
+        ),
+        pr(iter, node, r) AS (
+            SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM nodes
+            UNION ALL
+            SELECT q.iter + 1, q.dst,
+                   (1 - {_DAMP}) * sv.s + {_DAMP} * q.c
+            FROM (
+                SELECT p.iter AS iter, fe.dst AS dst, sum(p.r * fe.p) AS c
+                FROM pr p JOIN full_edges fe ON fe.src = p.node
+                WHERE p.iter < {_PPR_ITERS}
+                GROUP BY p.iter, fe.dst
+            ) q
+            JOIN svec sv ON sv.node = q.dst
+        )
+        SELECT node, round(r, 6) AS ppr FROM pr WHERE iter = {_PPR_ITERS}
+    """
+    sql["adamic_adar"] = f"""
+        WITH {_E}, {_UND},
+        centers AS (
+            SELECT node FROM deg WHERE degree <= {_AA_CAP} AND degree >= 2
+        ),
+        nb AS (
+            SELECT s.src AS u, s.dst AS x, 1.0 / ln(d.degree) AS invln
+            FROM sym s
+            JOIN deg d ON d.node = s.src
+            JOIN centers c ON c.node = s.src
+        ),
+        pairs AS (
+            SELECT n1.x AS a, n2.x AS b, count(*) AS common_neighbors,
+                   sum(n1.invln) AS aa
+            FROM nb n1 JOIN nb n2 ON n1.u = n2.u AND n1.x < n2.x
+            GROUP BY n1.x, n2.x
+            HAVING count(*) >= {_AA_MIN_COMMON}
+        )
+        SELECT a, b, common_neighbors, round(aa, 6) AS adamic_adar
+        FROM pairs p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM und e WHERE e.src = p.a AND e.dst = p.b
+        )
+    """
+    sql["clustering_coeff"] = f"""
+        WITH {_E}, {_UND},
+        tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM und e1
+            JOIN und e2 ON e2.src = e1.src AND e2.dst > e1.dst
+            JOIN und e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        ),
+        tpn AS (
+            SELECT node, count(*) AS t FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        )
+        SELECT d.node, d.degree,
+               round(CASE WHEN d.degree < 2 THEN 0.0
+                     ELSE 2.0 * coalesce(t.t, 0)
+                          / (d.degree * (d.degree - 1)) END, 6) AS clustering
+        FROM deg d LEFT JOIN tpn t ON t.node = d.node
+    """
+    # sample-Pearson corr(): the (n-1) factors cancel, so sample == population
+    # correlation — Spark F.corr and DuckDB corr compute the same number
+    sql["assortativity"] = f"""
+        WITH {_E}, {_UND}
+        SELECT round(corr(d1.degree, d2.degree), 6) AS assortativity
+        FROM sym s
+        JOIN deg d1 ON d1.node = s.src
+        JOIN deg d2 ON d2.node = s.dst
+    """
+    sql["reciprocity"] = f"""
+        WITH {_E},
+        r AS (
+            SELECT e.src, e.dst FROM edges e
+            JOIN edges x ON x.src = e.dst AND x.dst = e.src
+        )
+        SELECT (SELECT count(*) FROM edges) AS n_arcs,
+               (SELECT count(*) FROM r) AS n_reciprocal,
+               round(CAST((SELECT count(*) FROM r) AS DOUBLE)
+                     / (SELECT count(*) FROM edges), 6) AS reciprocity
+    """
+    sql["avg_neighbor_degree"] = f"""
+        WITH {_E}, {_UND}
+        SELECT s.src AS node, d1.degree AS degree,
+               round(avg(d2.degree), 6) AS avg_neighbor_degree
+        FROM sym s
+        JOIN deg d1 ON d1.node = s.src
+        JOIN deg d2 ON d2.node = s.dst
+        GROUP BY s.src, d1.degree
     """
     return sql

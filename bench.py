@@ -135,6 +135,17 @@ def run_bench(spark) -> dict:
     t, _ = _time(lambda: cocitation_jaccard(edges, min_shared=2).count())
     queries["cocitation_jaccard"] = t
 
+    from graphriccicurvature_spark.operators.linkgraph import (
+        adamic_adar,
+        clustering_coefficient,
+    )
+
+    t, _ = _time(lambda: adamic_adar(und, min_common=2).count())
+    queries["adamic_adar"] = t
+
+    t, _ = _time(lambda: clustering_coefficient(und).count())
+    queries["clustering_coeff"] = t
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )

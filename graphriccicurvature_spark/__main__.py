@@ -233,13 +233,54 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         return cocitation_jaccard(
             _load_edges(spark, args), min_shared=args.min_shared
         )
+    if op == "ppr":
+        from pyspark.sql import functions as F
+
+        from .operators.linkgraph import personalized_pagerank
+
+        e = _load_edges(spark, args)
+        if not args.seeds:
+            sys.exit("ppr needs --seeds (comma-separated node ids)")
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in args.seeds.split(",")], "node long"
+        )
+        return personalized_pagerank(
+            e, seeds, num_iterations=args.iterations, directed=args.directed
+        )
+    if op == "adamic-adar":
+        from .operators.linkgraph import adamic_adar
+        from .sources.edges import canonicalize
+
+        return adamic_adar(
+            canonicalize(_load_edges(spark, args)), min_common=args.min_shared
+        )
+    if op == "clustering":
+        from .operators.linkgraph import clustering_coefficient
+        from .sources.edges import canonicalize
+
+        return clustering_coefficient(canonicalize(_load_edges(spark, args)))
+    if op == "assortativity":
+        from .operators.linkgraph import degree_assortativity
+        from .sources.edges import canonicalize
+
+        return degree_assortativity(canonicalize(_load_edges(spark, args)))
+    if op == "reciprocity":
+        from .operators.linkgraph import reciprocity
+
+        return reciprocity(_load_edges(spark, args))
+    if op == "avg-neighbor-degree":
+        from .operators.linkgraph import average_neighbor_degree
+        from .sources.edges import canonicalize
+
+        return average_neighbor_degree(canonicalize(_load_edges(spark, args)))
     sys.exit(f"unknown op {op!r}")
 
 
 OPS = (
     "curvature forman flow community pagerank components lpa triangles "
     "exact-dedup minhash-dedup repetition corpus-dup quality langid "
-    "token-freq hash-split host-stats hits k-core cocitation"
+    "token-freq hash-split host-stats hits k-core cocitation ppr "
+    "adamic-adar clustering assortativity reciprocity avg-neighbor-degree"
 ).split()
 
 
@@ -269,8 +310,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--checkpoint-dir", help="flow resume/checkpoint dir")
     p.add_argument("--top-n", type=int, default=100)
     p.add_argument("--k", type=int, default=3, help="k-core threshold")
+    p.add_argument("--seeds", help="ppr: comma-separated seed node ids")
     p.add_argument("--min-shared", type=int, default=2,
-                   help="cocitation: min common citing sources per pair")
+                   help="cocitation: min common citing sources per pair; "
+                        "adamic-adar: min common neighbors")
     args = p.parse_args(argv)
     _autodetect(args)
 

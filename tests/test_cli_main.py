@@ -85,3 +85,43 @@ def test_cli_hits_and_kcore_and_cocitation(spark, tmp_path):
     dfc = spark.read.parquet(str(out_c))
     assert set(dfc.columns) == {"a", "b", "shared", "jaccard"}
     assert dfc.count() > 0
+
+
+def test_cli_ppr_adamic_clustering(spark, tmp_path):
+    out_p = tmp_path / "ppr"
+    main(["ppr", "--docs", SF, "--output", str(out_p), "--iterations", "3",
+          "--seeds", "0,13,26", "--directed"])
+    dfp = spark.read.parquet(str(out_p))
+    assert set(dfp.columns) == {"node", "ppr"}
+    assert abs(dfp.groupBy().sum("ppr").first()[0] - 1.0) < 1e-6
+
+    out_a = tmp_path / "aa"
+    main(["adamic-adar", "--docs", SF, "--output", str(out_a), "--min-shared", "1"])
+    dfa = spark.read.parquet(str(out_a))
+    assert set(dfa.columns) == {"a", "b", "common_neighbors", "adamic_adar"}
+    assert dfa.count() > 0
+
+    out_c = tmp_path / "clust"
+    main(["clustering", "--docs", SF, "--output", str(out_c)])
+    dfc = spark.read.parquet(str(out_c))
+    assert set(dfc.columns) == {"node", "degree", "clustering"}
+    assert dfc.filter("clustering < 0 OR clustering > 1").count() == 0
+
+
+def test_cli_graph_stats(spark, tmp_path):
+    out_s = tmp_path / "assort"
+    main(["assortativity", "--docs", SF, "--output", str(out_s)])
+    dfs = spark.read.parquet(str(out_s))
+    assert dfs.columns == ["assortativity"]
+    assert -1.0 <= dfs.first()[0] <= 1.0
+
+    out_r = tmp_path / "recip"
+    main(["reciprocity", "--docs", SF, "--output", str(out_r)])
+    dfr = spark.read.parquet(str(out_r))
+    assert set(dfr.columns) == {"n_arcs", "n_reciprocal", "reciprocity"}
+
+    out_n = tmp_path / "knn"
+    main(["avg-neighbor-degree", "--docs", SF, "--output", str(out_n)])
+    dfn = spark.read.parquet(str(out_n))
+    assert set(dfn.columns) == {"node", "degree", "avg_neighbor_degree"}
+    assert dfn.filter("avg_neighbor_degree < 1").count() == 0
