@@ -727,6 +727,14 @@ _PPR_ITERS = 5
 _PPR_SEED_MOD = 13
 _AA_MIN_COMMON = 2
 _AA_CAP = 100
+_TRUSS_K = 3
+_TRUSS_ROUNDS = 2
+_SALSA_ITERS = 3
+_SSSP_ROUNDS = 4
+_HC_RADIUS = 2
+_BFS_SEED_MOD = 17
+_BFS_HOPS = 4
+_NF_RADIUS = 2
 
 
 def _q_hits(spark, sf):
@@ -758,6 +766,108 @@ def _q_cocitation(spark, sf):
     e = edges_from_documents(spark, sf)
     p = cocitation_jaccard(e, min_shared=_COCIT_MIN_SHARED, max_out_degree=_COCIT_CAP)
     return p.select("a", "b", "shared", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _weighted_edges(spark, sf):
+    """F2 link graph with deterministic varied weights 1..5 (the uniform
+    1.0 weights would make weighted SSSP collapse to hop BFS)."""
+    e = edges_from_documents(spark, sf)
+    return e.withColumn(
+        "weight", (F.lit(1) + (F.col("src") * 7 + F.col("dst") * 13) % 5).cast("double")
+    )
+
+
+def _q_sssp(spark, sf):
+    """Weighted multi-source shortest paths (Bellman-Ford, 4 relax
+    rounds, directed) from seeds node % 17 == 0; weights 1..5."""
+    from graphriccicurvature_spark.operators.linkgraph import sssp_bounded
+
+    e = _weighted_edges(spark, sf)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % _BFS_SEED_MOD == 0)
+    d = sssp_bounded(e, seeds, rounds=_SSSP_ROUNDS, directed=True)
+    return d.select("node", F.round("dist", 6).alias("dist"))
+
+
+def _q_harmonic(spark, sf):
+    """Exact bounded harmonic centrality HC_2(v) = sum 1/d over nodes
+    within 2 hops — the quantity HyperBall estimates at web scale."""
+    from graphriccicurvature_spark.operators.linkgraph import harmonic_closeness
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    h = harmonic_closeness(und, radius=_HC_RADIUS)
+    return h.select("node", F.round("harmonic", 6).alias("harmonic"))
+
+
+def _q_hyperball_harmonic(spark, sf):
+    """HyperBall harmonic-centrality estimate (HLL telescoping sum) —
+    scale-path twin of harmonic_2 (approximate: no SQL oracle; pytest
+    twin checks estimate-vs-exact agreement)."""
+    from graphriccicurvature_spark.operators.linkgraph import hyperball_harmonic
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    h = hyperball_harmonic(und, radius=_HC_RADIUS)
+    return h.select("node", F.round("harmonic_estimate", 4).alias("harmonic_estimate"))
+
+
+def _q_salsa(spark, sf):
+    """SALSA hub/authority scores, 3 alternating-walk iterations
+    (stochastic steps — mass conserved, no normalization scalars)."""
+    from graphriccicurvature_spark.operators.linkgraph import salsa
+
+    s = salsa(edges_from_documents(spark, sf), num_iterations=_SALSA_ITERS)
+    return s.select(
+        "node",
+        F.round("salsa_authority", 6).alias("salsa_authority"),
+        F.round("salsa_hub", 6).alias("salsa_hub"),
+    )
+
+
+def _q_k_truss(spark, sf):
+    """Bounded k-truss peel (k=3, 2 rounds): edges whose triangle support
+    stays >= k-2 under peeling; output includes final support."""
+    from graphriccicurvature_spark.operators.linkgraph import k_truss
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return k_truss(und, k=_TRUSS_K, rounds=_TRUSS_ROUNDS)
+
+
+def _q_bfs_distance(spark, sf):
+    """Multi-source BFS hop distance (<= 4 hops, directed) from the seed
+    set node % 17 == 0 — crawl-frontier depth / seed-expansion primitive."""
+    from graphriccicurvature_spark.operators.linkgraph import bfs_distance
+
+    e = edges_from_documents(spark, sf)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % _BFS_SEED_MOD == 0)
+    return bfs_distance(e, seeds, max_hops=_BFS_HOPS, directed=True)
+
+
+def _q_neighborhood(spark, sf):
+    """Exact bounded neighborhood function: |ball_2(v)| per node on the
+    undirected graph (the quantity HyperBall approximates)."""
+    from graphriccicurvature_spark.operators.linkgraph import neighborhood_function
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return neighborhood_function(und, radius=_NF_RADIUS)
+
+
+def _q_hyperball(spark, sf):
+    """HyperBall (HLL-sketch) approximate 2-hop ball sizes — the scale
+    path twin of neighborhood_2 (approximate: no SQL oracle; the pytest
+    twin checks estimate-vs-exact agreement)."""
+    from graphriccicurvature_spark.operators.linkgraph import hyperball
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return hyperball(und, radius=_NF_RADIUS)
 
 
 def _q_ppr(spark, sf):
@@ -895,6 +1005,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": _q_reciprocity,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "k_core_3": _q_k_core,
+        "salsa_3": _q_salsa,
+        "k_truss_3": _q_k_truss,
+        "sssp_4": _q_sssp,
+        "harmonic_2": _q_harmonic,
+        "hyperball_harmonic_2": _q_hyperball_harmonic,
+        "bfs_distance_4": _q_bfs_distance,
+        "neighborhood_2": _q_neighborhood,
+        "hyperball_2": _q_hyperball,
         "cocitation_jaccard": _q_cocitation,
     }
 
@@ -2110,5 +2228,163 @@ def oracle_sql() -> dict[str, str]:
         JOIN deg d1 ON d1.node = s.src
         JOIN deg d2 ON d2.node = s.dst
         GROUP BY s.src, d1.degree
+    """
+    # k-truss: 2 unrolled peel rounds (triangle enumeration on a<b<c
+    # canonical edges — the three triangle edges are already canonical),
+    # then support recomputed on the surviving subgraph for the output
+    truss_round = """
+        t{i} AS MATERIALIZED (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM r{i} e1
+            JOIN r{i} e2 ON e2.src = e1.src AND e2.dst > e1.dst
+            JOIN r{i} e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        ),
+        s{i} AS (
+            SELECT src, dst, count(*) AS sup FROM (
+                SELECT a AS src, b AS dst FROM t{i}
+                UNION ALL SELECT a, c FROM t{i}
+                UNION ALL SELECT b, c FROM t{i}
+            ) GROUP BY src, dst
+        )"""
+    rounds_sql = []
+    for i in range(_TRUSS_ROUNDS):
+        rounds_sql.append(truss_round.format(i=i))
+        rounds_sql.append(f"""
+        r{i + 1} AS MATERIALIZED (
+            SELECT r.src, r.dst FROM r{i} r
+            LEFT JOIN s{i} s ON s.src = r.src AND s.dst = r.dst
+            WHERE coalesce(s.sup, 0) >= {_TRUSS_K - 2}
+        )""")
+    rounds_sql.append(truss_round.format(i=_TRUSS_ROUNDS))
+    sql["k_truss_3"] = f"""
+        WITH {_E}, {_UND},
+        r0 AS MATERIALIZED (SELECT src, dst FROM und),
+        {",".join(rounds_sql)}
+        SELECT r.src, r.dst, coalesce(s.sup, 0) AS support
+        FROM r{_TRUSS_ROUNDS} r
+        LEFT JOIN s{_TRUSS_ROUNDS} s ON s.src = r.src AND s.dst = r.dst
+    """
+    # recursive-CTE BFS: UNION (not ALL) dedups (node, d) states globally,
+    # so cycles terminate once every reachable (node, d<=H) state is seen
+    sql["bfs_distance_4"] = f"""
+        WITH RECURSIVE {_E},
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        walk(node, d) AS (
+            SELECT node, 0 FROM nodes WHERE node % {_BFS_SEED_MOD} = 0
+            UNION
+            SELECT e.dst, w.d + 1
+            FROM walk w JOIN edges e ON e.src = w.node
+            WHERE w.d < {_BFS_HOPS}
+        )
+        SELECT node, min(d) AS dist FROM walk GROUP BY node
+    """
+    # weighted SSSP: recursive CTE over (node, dist, hops) states; UNION
+    # dedups identical states so cycles terminate; weights are the same
+    # deterministic 1..5 formula as _weighted_edges
+    sql["sssp_4"] = f"""
+        WITH RECURSIVE {_E},
+        we AS (
+            SELECT src, dst,
+                   CAST(1 + (src * 7 + dst * 13) % 5 AS DOUBLE) AS weight
+            FROM edges
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        walk(node, d, it) AS (
+            SELECT node, CAST(0 AS DOUBLE), 0
+            FROM nodes WHERE node % {_BFS_SEED_MOD} = 0
+            UNION
+            SELECT e.dst, w.d + e.weight, w.it + 1
+            FROM walk w JOIN we e ON e.src = w.node
+            WHERE w.it < {_SSSP_ROUNDS}
+        )
+        SELECT node, round(min(d), 6) AS dist FROM walk GROUP BY node
+    """
+    # exact bounded harmonic centrality, radius 2: min-dist pair table
+    # from 0/1/2-hop unions; 1/1 and 1/2 are exact binary fractions so
+    # the sum is order-independent and hash-exact
+    sql["harmonic_2"] = f"""
+        WITH {_E}, {_UND},
+        pairs AS (
+            SELECT node, x, min(d) AS d FROM (
+                SELECT src AS node, src AS x, 0 AS d FROM sym
+                UNION ALL SELECT src, dst, 1 FROM sym
+                UNION ALL
+                SELECT s1.src, s2.dst, 2
+                FROM sym s1 JOIN sym s2 ON s2.src = s1.dst
+            ) GROUP BY node, x
+        )
+        SELECT node, round(sum(1.0 / d) FILTER (WHERE d > 0), 6) AS harmonic
+        FROM pairs GROUP BY node
+    """
+    # SALSA: unrolled alternating-walk CTE chain. eb carries 1/indeg and
+    # 1/outdeg once; each round is two join+group steps per chain — the
+    # stochastic steps conserve mass so no norm scalars appear.
+    salsa_ctes = [
+        """eb AS MATERIALIZED (
+            SELECT e.src, e.dst, 1.0 / i.indeg AS rin, 1.0 / o.outdeg AS rout
+            FROM edges e
+            JOIN (SELECT dst, count(*) AS indeg FROM edges GROUP BY dst) i
+              ON i.dst = e.dst
+            JOIN (SELECT src, count(*) AS outdeg FROM edges GROUP BY src) o
+              ON o.src = e.src
+        )""",
+        """a0 AS (
+            SELECT dst AS node,
+                   1.0 / (SELECT count(DISTINCT dst) FROM eb) AS a
+            FROM eb GROUP BY dst
+        )""",
+        """h0 AS (
+            SELECT src AS node,
+                   1.0 / (SELECT count(DISTINCT src) FROM eb) AS h
+            FROM eb GROUP BY src
+        )""",
+    ]
+    for r in range(1, _SALSA_ITERS + 1):
+        salsa_ctes += [
+            f"""t{r} AS (
+                SELECT eb.src, sum(a.a * eb.rin) AS t
+                FROM eb JOIN a{r - 1} a ON a.node = eb.dst GROUP BY eb.src
+            )""",
+            f"""a{r} AS (
+                SELECT eb.dst AS node, sum(t.t * eb.rout) AS a
+                FROM eb JOIN t{r} t ON t.src = eb.src GROUP BY eb.dst
+            )""",
+            f"""g{r} AS (
+                SELECT eb.dst, sum(h.h * eb.rout) AS g
+                FROM eb JOIN h{r - 1} h ON h.node = eb.src GROUP BY eb.dst
+            )""",
+            f"""h{r} AS (
+                SELECT eb.src AS node, sum(g.g * eb.rin) AS h
+                FROM eb JOIN g{r} g ON g.dst = eb.dst GROUP BY eb.src
+            )""",
+        ]
+    sql["salsa_3"] = (
+        f"WITH {_E}, "
+        + ", ".join(salsa_ctes)
+        + f"""
+        SELECT coalesce(a.node, h.node) AS node,
+               round(coalesce(a.a, 0.0), 6) AS salsa_authority,
+               round(coalesce(h.h, 0.0), 6) AS salsa_hub
+        FROM a{_SALSA_ITERS} a FULL OUTER JOIN h{_SALSA_ITERS} h
+          ON h.node = a.node
+    """
+    )
+    sql["neighborhood_2"] = f"""
+        WITH {_E}, {_UND},
+        p AS (
+            SELECT src AS node, src AS x FROM sym
+            UNION SELECT dst, dst FROM sym
+            UNION SELECT src, dst FROM sym
+            UNION SELECT s1.src, s2.dst FROM sym s1 JOIN sym s2 ON s2.src = s1.dst
+        )
+        SELECT node, count(*) AS ball FROM p GROUP BY node
     """
     return sql

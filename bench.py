@@ -146,6 +146,14 @@ def run_bench(spark) -> dict:
     t, _ = _time(lambda: clustering_coefficient(und).count())
     queries["clustering_coeff"] = t
 
+    from graphriccicurvature_spark.operators.linkgraph import hyperball, k_truss
+
+    t, _ = _time(lambda: k_truss(und, k=3, rounds=2).count())
+    queries["k_truss_3_2r"] = t
+
+    t, _ = _time(lambda: hyperball(und, radius=3).count())
+    queries["hyperball_3"] = t
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )

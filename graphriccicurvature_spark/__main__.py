@@ -273,6 +273,67 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .sources.edges import canonicalize
 
         return average_neighbor_degree(canonicalize(_load_edges(spark, args)))
+    if op == "sssp":
+        from .operators.linkgraph import sssp_bounded
+
+        if not args.seeds:
+            sys.exit("sssp needs --seeds (comma-separated node ids)")
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in args.seeds.split(",")], "node long"
+        )
+        return sssp_bounded(
+            _load_edges(spark, args), seeds,
+            rounds=args.iterations, directed=args.directed,
+        )
+    if op == "harmonic":
+        from .operators.linkgraph import harmonic_closeness
+        from .sources.edges import canonicalize
+
+        return harmonic_closeness(
+            canonicalize(_load_edges(spark, args)), radius=args.radius
+        )
+    if op == "hyperball-harmonic":
+        from .operators.linkgraph import hyperball_harmonic
+        from .sources.edges import canonicalize
+
+        return hyperball_harmonic(
+            canonicalize(_load_edges(spark, args)), radius=args.radius
+        )
+    if op == "salsa":
+        from .operators.linkgraph import salsa
+
+        return salsa(_load_edges(spark, args), num_iterations=args.iterations)
+    if op == "k-truss":
+        from .operators.linkgraph import k_truss
+        from .sources.edges import canonicalize
+
+        return k_truss(canonicalize(_load_edges(spark, args)), k=args.k)
+    if op == "bfs":
+        from .operators.linkgraph import bfs_distance
+
+        if not args.seeds:
+            sys.exit("bfs needs --seeds (comma-separated node ids)")
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in args.seeds.split(",")], "node long"
+        )
+        return bfs_distance(
+            _load_edges(spark, args), seeds,
+            max_hops=args.iterations, directed=args.directed,
+        )
+    if op == "neighborhood":
+        from .operators.linkgraph import neighborhood_function
+        from .sources.edges import canonicalize
+
+        return neighborhood_function(
+            canonicalize(_load_edges(spark, args)), radius=args.radius
+        )
+    if op == "hyperball":
+        from .operators.linkgraph import hyperball
+        from .sources.edges import canonicalize
+
+        return hyperball(
+            canonicalize(_load_edges(spark, args)), radius=args.radius
+        )
     sys.exit(f"unknown op {op!r}")
 
 
@@ -280,7 +341,9 @@ OPS = (
     "curvature forman flow community pagerank components lpa triangles "
     "exact-dedup minhash-dedup repetition corpus-dup quality langid "
     "token-freq hash-split host-stats hits k-core cocitation ppr "
-    "adamic-adar clustering assortativity reciprocity avg-neighbor-degree"
+    "adamic-adar clustering assortativity reciprocity avg-neighbor-degree "
+    "k-truss bfs neighborhood hyperball salsa sssp harmonic "
+    "hyperball-harmonic"
 ).split()
 
 
@@ -309,7 +372,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--delta", type=float, default=1e-4)
     p.add_argument("--checkpoint-dir", help="flow resume/checkpoint dir")
     p.add_argument("--top-n", type=int, default=100)
-    p.add_argument("--k", type=int, default=3, help="k-core threshold")
+    p.add_argument("--k", type=int, default=3, help="k-core / k-truss threshold")
+    p.add_argument("--radius", type=int, default=2,
+                   help="neighborhood/hyperball ball radius (hops)")
     p.add_argument("--seeds", help="ppr: comma-separated seed node ids")
     p.add_argument("--min-shared", type=int, default=2,
                    help="cocitation: min common citing sources per pair; "

@@ -125,3 +125,52 @@ def test_cli_graph_stats(spark, tmp_path):
     dfn = spark.read.parquet(str(out_n))
     assert set(dfn.columns) == {"node", "degree", "avg_neighbor_degree"}
     assert dfn.filter("avg_neighbor_degree < 1").count() == 0
+
+
+def test_cli_truss_bfs_neighborhood(spark, tmp_path):
+    out_t = tmp_path / "truss"
+    main(["k-truss", "--docs", SF, "--output", str(out_t), "--k", "3"])
+    dft = spark.read.parquet(str(out_t))
+    assert set(dft.columns) == {"src", "dst", "support"}
+    assert dft.filter("support < 1").count() == 0  # fixpoint property (k=3)
+
+    out_b = tmp_path / "bfs"
+    main(["bfs", "--docs", SF, "--output", str(out_b), "--iterations", "3",
+          "--seeds", "0,17", "--directed"])
+    dfb = spark.read.parquet(str(out_b))
+    assert set(dfb.columns) == {"node", "dist"}
+    assert dfb.filter("dist = 0").count() >= 1
+    assert dfb.filter("dist > 3").count() == 0
+
+    out_n = tmp_path / "nf"
+    main(["neighborhood", "--docs", SF, "--output", str(out_n), "--radius", "1"])
+    dfn = spark.read.parquet(str(out_n))
+    assert set(dfn.columns) == {"node", "ball"}
+    assert dfn.filter("ball < 1").count() == 0
+
+    out_h = tmp_path / "hb"
+    main(["hyperball", "--docs", SF, "--output", str(out_h), "--radius", "1"])
+    dfh = spark.read.parquet(str(out_h))
+    assert set(dfh.columns) == {"node", "ball_estimate"}
+    assert dfh.count() == dfn.count()
+
+
+def test_cli_sssp_harmonic_salsa(spark, tmp_path):
+    out_s = tmp_path / "sssp"
+    main(["sssp", "--docs", SF, "--output", str(out_s), "--iterations", "3",
+          "--seeds", "0,17", "--directed"])
+    dfs = spark.read.parquet(str(out_s))
+    assert set(dfs.columns) == {"node", "dist"}
+    assert dfs.filter("dist = 0.0").count() >= 1
+
+    out_h = tmp_path / "harm"
+    main(["harmonic", "--docs", SF, "--output", str(out_h), "--radius", "2"])
+    dfh = spark.read.parquet(str(out_h))
+    assert set(dfh.columns) == {"node", "harmonic"}
+    assert dfh.filter("harmonic <= 0").count() == 0
+
+    out_a = tmp_path / "salsa"
+    main(["salsa", "--docs", SF, "--output", str(out_a), "--iterations", "2"])
+    dfa = spark.read.parquet(str(out_a))
+    assert set(dfa.columns) == {"node", "salsa_authority", "salsa_hub"}
+    assert abs(dfa.groupBy().sum("salsa_authority").first()[0] - 1.0) < 1e-6
