@@ -330,39 +330,56 @@ def _scaling_child(cpus: int) -> dict:
     ricci_curvature_edges(
         und.sample(False, 0.12, seed=7), method="OTDSinkhornMix", mode="ego"
     ).count()
-    # measured pass count comes from the sandwich driver: the wide leg runs
-    # best-of-2 (host-noise during the wide leg would otherwise slip through
-    # the narrow-agreement gate undetected and silently deflate efficiency);
-    # each narrow leg runs once — the sandwich already takes the min of two.
-    s0, j0, b0 = _read_steal()
-    p0 = _read_steal_percpu()
-    wall0 = time.time()
-    t_curv, _ = _time(
-        lambda: ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count(),
-        trials=int(os.environ.get("SPARK_GRAFT_SCALING_CHILD_TRIALS", "1")),
-    )
-    wall = time.time() - wall0
-    s1, j1, b1 = _read_steal()
-    p1 = _read_steal_percpu()
-    # three views of the same steal delta: fraction of the whole box's
-    # CPU-time (legacy, scale-free); fraction of box-wide demanded CPU
-    # (busy+steal — conservative: counts timer-tick steal on the ~30 idle
-    # vCPUs that cannot slow a 1-core leg); and — the one the gate uses —
-    # fraction of demanded CPU on ACTIVE cpus only (>5% busy duty over the
-    # measured window), i.e. steal charged where the leg's work actually
-    # ran. Protocol r4-sandwich-3.
-    steal_frac = (s1 - s0) / max(j1 - j0, 1.0)
-    steal_share = (s1 - s0) / max((b1 - b0) + (s1 - s0), 1.0)
+    # measured passes: each pass carries its OWN steal window (protocol
+    # r4-sandwich-4). A leg runs N passes and reports the fastest one
+    # together with THAT pass's steal stats — the gate then judges the
+    # chosen measurement window, not the whole leg. Rationale, measured
+    # round 4: host noise arrives in bursts of a few minutes; a 1-core
+    # narrow leg spans ~6 min, so the probability that an entire leg is
+    # clean is much lower than the probability that at least one of two
+    # passes is clean. Picking the fastest pass is picking the least-
+    # stolen window — exactly the quiet-machine best-of-N discipline the
+    # main bench already uses, now with the steal evidence attached to
+    # the same window that produced the time.
     hz = os.sysconf("SC_CLK_TCK") or 100
-    act_busy = act_steal = 0.0
-    n_active = 0
-    for (cb0, cs0), (cb1, cs1) in zip(p0, p1):
-        db, ds = cb1 - cb0, cs1 - cs0
-        if db > 0.05 * wall * hz:
-            act_busy += db
-            act_steal += ds
-            n_active += 1
-    steal_share_active = act_steal / max(act_busy + act_steal, 1.0)
+    n_passes = int(os.environ.get("SPARK_GRAFT_SCALING_CHILD_TRIALS", "1"))
+    passes = []
+    for _ in range(n_passes):
+        s0, j0, b0 = _read_steal()
+        p0 = _read_steal_percpu()
+        wall0 = time.time()
+        ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count()
+        wall = time.time() - wall0
+        s1, j1, b1 = _read_steal()
+        p1 = _read_steal_percpu()
+        # three views of the same steal delta: fraction of the whole box's
+        # CPU-time (legacy, scale-free); fraction of box-wide demanded CPU
+        # (busy+steal — conservative: counts timer-tick steal on the ~30
+        # idle vCPUs that cannot slow a 1-core leg); and — the one the
+        # gate uses — fraction of demanded CPU on ACTIVE cpus only (>5%
+        # busy duty over the pass window), i.e. steal charged where the
+        # pass's work actually ran.
+        act_busy = act_steal = 0.0
+        n_active = 0
+        for (cb0, cs0), (cb1, cs1) in zip(p0, p1):
+            db, ds = cb1 - cb0, cs1 - cs0
+            if db > 0.05 * wall * hz:
+                act_busy += db
+                act_steal += ds
+                n_active += 1
+        passes.append({
+            "t": wall,
+            "steal_frac": (s1 - s0) / max(j1 - j0, 1.0),
+            "steal_share": (s1 - s0) / max((b1 - b0) + (s1 - s0), 1.0),
+            "steal_share_active": act_steal / max(act_busy + act_steal, 1.0),
+            "n_active": n_active,
+        })
+    best_pass = min(passes, key=lambda r: r["t"])
+    t_curv = best_pass["t"]
+    steal_frac = best_pass["steal_frac"]
+    steal_share = best_pass["steal_share"]
+    steal_share_active = best_pass["steal_share_active"]
+    n_active = best_pass["n_active"]
     t_pr, _ = _time(
         lambda: pagerank(dense, num_iterations=10, directed=True).count(), trials=1
     )
@@ -375,6 +392,10 @@ def _scaling_child(cpus: int) -> dict:
         "steal_share": round(steal_share, 4),
         "steal_share_active": round(steal_share_active, 4),
         "n_active_cpus": n_active,
+        "pass_secs": [round(p["t"], 3) for p in passes],
+        "pass_steal_share_active": [
+            round(p["steal_share_active"], 4) for p in passes
+        ],
     }
 
 
@@ -424,7 +445,7 @@ def main():
 _CACHE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_scaling_cache.json"
 )
-_SCALING_PROTO = "r4-sandwich-3"  # bump when the sandwich protocol changes
+_SCALING_PROTO = "r4-sandwich-4"  # bump when the sandwich protocol changes
 
 
 def _engine_fingerprint() -> str:
@@ -542,14 +563,16 @@ def _scaling_sandwich() -> dict:
             # the last (rejected) attempt is recorded as-is, flagged
             # accepted: false
             break
-        lo1 = _run_scaling_child(lo)
-        # wide leg is best-of-2 in ONE JVM: a host-noise spike during the
-        # wide window would pass the narrow-agreement gate undetected and
-        # deflate efficiency; min-of-2 wide vs min-of-2 narrow (the two
-        # sandwich legs) samples both configurations symmetrically under
-        # the same best-of-N quiet-machine protocol as the main bench.
+        # every leg is best-of-N passes in ONE JVM, each pass individually
+        # steal-windowed (r4-sandwich-4): the leg reports its fastest pass
+        # plus that pass's steal stats, so one clean pass per leg suffices
+        # even when a noise burst lands inside the leg. Narrow legs default
+        # to 2 passes (a 1-core pass spans minutes — the exposure that kept
+        # rejecting r4-sandwich-3 attempts); wide keeps 2.
+        narrow_trials = int(os.environ.get("SPARK_GRAFT_SCALING_NARROW_TRIALS", "2"))
+        lo1 = _run_scaling_child(lo, trials=narrow_trials)
         hig = _run_scaling_child(hi, trials=2)
-        lo2 = _run_scaling_child(lo)
+        lo2 = _run_scaling_child(lo, trials=narrow_trials)
         agree = abs(lo1["curvature_secs"] - lo2["curvature_secs"]) / min(
             lo1["curvature_secs"], lo2["curvature_secs"]
         )
@@ -592,6 +615,14 @@ def _scaling_sandwich() -> dict:
             "active_cpus_per_leg": [
                 lo1.get("n_active_cpus"), hig.get("n_active_cpus"), lo2.get("n_active_cpus")
             ],
+            "pass_secs_per_leg": [
+                lo1.get("pass_secs"), hig.get("pass_secs"), lo2.get("pass_secs")
+            ],
+            "pass_steal_share_active_per_leg": [
+                lo1.get("pass_steal_share_active"),
+                hig.get("pass_steal_share_active"),
+                lo2.get("pass_steal_share_active"),
+            ],
             "accepted": agree <= 0.03
             and max_steal <= 0.03
             and max_share
@@ -607,12 +638,14 @@ def _scaling_sandwich() -> dict:
     best = attempts[-1]
     min_narrow = min(best["narrow_secs"])
     return {
-        "protocol": "sandwich narrow-wide(best-of-2)-narrow; accept only if "
-        "narrow legs agree within 3% AND hypervisor steal <= 3% of the box "
-        "AND <= 5% of demanded CPU (busy+steal) on each leg's ACTIVE cpus "
-        "(>5% busy duty — idle-vCPU timer-tick steal cannot slow a leg and "
-        "is not charged to it); efficiency = (min_narrow / wide) / (hi/lo), "
-        "raw, no hardware adjustment",
+        "protocol": "sandwich narrow-wide-narrow, each leg best-of-N passes in "
+        "one JVM with PER-PASS steal windows (narrow N=2, wide N=2); the leg "
+        "reports its fastest pass and THAT pass's steal; accept only if the "
+        "narrow legs' best passes agree within 3% AND hypervisor steal <= 3% "
+        "of the box AND <= 5% of demanded CPU (busy+steal) on the chosen "
+        "pass's ACTIVE cpus (>5% busy duty — idle-vCPU timer-tick steal "
+        "cannot slow a leg and is not charged to it); efficiency = "
+        "(min_narrow / wide) / (hi/lo), raw, no hardware adjustment",
         "workload": "dense ego-net Ollivier (OTDSinkhornMix), separate JVM per leg, "
         "0.12-sample warm-up pass before the measured pass",
         "cores": [lo, hi],
