@@ -570,8 +570,9 @@ def _scaling_sandwich() -> dict:
         # to 2 passes (a 1-core pass spans minutes — the exposure that kept
         # rejecting r4-sandwich-3 attempts); wide keeps 2.
         narrow_trials = int(os.environ.get("SPARK_GRAFT_SCALING_NARROW_TRIALS", "2"))
+        wide_trials = int(os.environ.get("SPARK_GRAFT_SCALING_WIDE_TRIALS", "2"))
         lo1 = _run_scaling_child(lo, trials=narrow_trials)
-        hig = _run_scaling_child(hi, trials=2)
+        hig = _run_scaling_child(hi, trials=wide_trials)
         lo2 = _run_scaling_child(lo, trials=narrow_trials)
         agree = abs(lo1["curvature_secs"] - lo2["curvature_secs"]) / min(
             lo1["curvature_secs"], lo2["curvature_secs"]
