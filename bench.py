@@ -330,6 +330,33 @@ def _scaling_child(cpus: int) -> dict:
     ricci_curvature_edges(
         und.sample(False, 0.12, seed=7), method="OTDSinkhornMix", mode="ego"
     ).count()
+    # eval-edge subset (r4-sandwich-5): curvature is evaluated on a FIXED,
+    # content-deterministic ~1/3 of the edges (xxhash64(src,dst) bucket —
+    # identical across JVMs/legs regardless of partitioning) while the FULL
+    # graph still defines distributions and distances (edge_list
+    # semantics). Why: host frequency/placement state was measured to
+    # wobble in ~10-min epochs with up to ~25% amplitude and near-zero
+    # steal; a full-workload attempt spans ~25 min (narrow pass ~300 s) so
+    # the 3% narrow-agreement gate rejected 7 consecutive otherwise-clean
+    # sandwiches (pass data in /tmp/steal_probe.log, all with computed
+    # efficiency 0.82-0.97). Cutting eval edges to ~35% shrinks the whole
+    # sandwich to ~one epoch (~13 min, narrow pass ~100 s) without touching
+    # per-edge work (support sizes, OT problem shapes, partition layout are
+    # those of the full graph) — the serial floor measured after the LUT
+    # balance fix (~3 s/pass) keeps the floor's share of the wide leg <12%.
+    from pyspark.sql import functions as F
+
+    eval_pct = int(os.environ.get("SPARK_GRAFT_SCALING_EVAL_PCT", "35"))
+    if eval_pct < 100:
+        el = (
+            und.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(100)) < eval_pct)
+            .select("src", "dst")
+            .cache()
+        )
+        n_eval = el.count()
+    else:
+        el = None
+        n_eval = n_edges
     # measured passes: each pass carries its OWN steal window (protocol
     # r4-sandwich-4). A leg runs N passes and reports the fastest one
     # together with THAT pass's steal stats — the gate then judges the
@@ -348,7 +375,9 @@ def _scaling_child(cpus: int) -> dict:
         s0, j0, b0 = _read_steal()
         p0 = _read_steal_percpu()
         wall0 = time.time()
-        ricci_curvature_edges(und, method="OTDSinkhornMix", mode="ego").count()
+        ricci_curvature_edges(
+            und, method="OTDSinkhornMix", mode="ego", edge_list=el
+        ).count()
         wall = time.time() - wall0
         s1, j1, b1 = _read_steal()
         p1 = _read_steal_percpu()
@@ -388,6 +417,7 @@ def _scaling_child(cpus: int) -> dict:
         "curvature_secs": t_curv,
         "pagerank_secs": t_pr,
         "n_edges": n_edges,
+        "n_eval_edges": n_eval,
         "steal_frac": round(steal_frac, 4),
         "steal_share": round(steal_share, 4),
         "steal_share_active": round(steal_share_active, 4),
@@ -445,7 +475,7 @@ def main():
 _CACHE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_scaling_cache.json"
 )
-_SCALING_PROTO = "r4-sandwich-4"  # bump when the sandwich protocol changes
+_SCALING_PROTO = "r4-sandwich-5"  # bump when the sandwich protocol changes
 
 
 def _engine_fingerprint() -> str:
@@ -564,11 +594,9 @@ def _scaling_sandwich() -> dict:
             # accepted: false
             break
         # every leg is best-of-N passes in ONE JVM, each pass individually
-        # steal-windowed (r4-sandwich-4): the leg reports its fastest pass
-        # plus that pass's steal stats, so one clean pass per leg suffices
-        # even when a noise burst lands inside the leg. Narrow legs default
-        # to 2 passes (a 1-core pass spans minutes — the exposure that kept
-        # rejecting r4-sandwich-3 attempts); wide keeps 2.
+        # steal-windowed (r4-sandwich-4/5): the leg reports its fastest
+        # pass plus that pass's steal stats, so one clean pass per leg
+        # suffices even when a noise burst lands inside the leg.
         narrow_trials = int(os.environ.get("SPARK_GRAFT_SCALING_NARROW_TRIALS", "2"))
         wide_trials = int(os.environ.get("SPARK_GRAFT_SCALING_WIDE_TRIALS", "2"))
         lo1 = _run_scaling_child(lo, trials=narrow_trials)
@@ -631,6 +659,7 @@ def _scaling_sandwich() -> dict:
             "pagerank_narrow_secs": round(lo1["pagerank_secs"], 3),
             "pagerank_wide_secs": round(hig["pagerank_secs"], 3),
             "n_edges": hig["n_edges"],
+            "n_eval_edges": hig.get("n_eval_edges"),
         }
         attempts.append(rec)
         print(f"scaling attempt {attempt}: {json.dumps(rec)}", file=sys.stderr)
@@ -640,17 +669,23 @@ def _scaling_sandwich() -> dict:
     min_narrow = min(best["narrow_secs"])
     return {
         "protocol": "sandwich narrow-wide-narrow, each leg best-of-N passes in "
-        "one JVM with PER-PASS steal windows (narrow N=2, wide N=2); the leg "
-        "reports its fastest pass and THAT pass's steal; accept only if the "
-        "narrow legs' best passes agree within 3% AND hypervisor steal <= 3% "
-        "of the box AND <= 5% of demanded CPU (busy+steal) on the chosen "
-        "pass's ACTIVE cpus (>5% busy duty — idle-vCPU timer-tick steal "
-        "cannot slow a leg and is not charged to it); efficiency = "
-        "(min_narrow / wide) / (hi/lo), raw, no hardware adjustment",
-        "workload": "dense ego-net Ollivier (OTDSinkhornMix), separate JVM per leg, "
-        "0.12-sample warm-up pass before the measured pass",
+        "one JVM with PER-PASS steal windows; the leg reports its fastest "
+        "pass and THAT pass's steal; accept only if the narrow legs' best "
+        "passes agree within 3% AND hypervisor steal <= 3% of the box AND "
+        "<= 5% of demanded CPU (busy+steal) on the chosen pass's ACTIVE "
+        "cpus (>5% busy duty — idle-vCPU timer-tick steal cannot slow a "
+        "leg and is not charged to it); efficiency = (min_narrow / wide) / "
+        "(hi/lo), raw, no hardware adjustment. Eval-edge subset (~35%, "
+        "fixed xxhash64 bucket) shrinks the whole sandwich to ~one host "
+        "frequency epoch (~13 min) while the FULL graph defines "
+        "distributions/distances — per-edge work and partition layout are "
+        "unchanged (r4-sandwich-5)",
+        "workload": "dense ego-net Ollivier (OTDSinkhornMix) on a fixed ~35% "
+        "eval-edge subset of the full dense graph, separate JVM per leg, "
+        "0.12-sample warm-up pass before the measured passes",
         "cores": [lo, hi],
         "dense_n_edges": best["n_edges"],
+        "n_eval_edges": best.get("n_eval_edges"),
         "curvature_efficiency": round((min_narrow / best["wide_secs"]) / (hi / lo), 3),
         "pagerank_efficiency": round(
             (best["pagerank_narrow_secs"] / best["pagerank_wide_secs"]) / (hi / lo), 3
