@@ -327,8 +327,9 @@ def _scaling_child(cpus: int) -> dict:
     # thread's python worker spawns and imports numpy/the .so before the
     # measured pass — a full extra pass would double the narrow leg's
     # wall time without changing what it measures.
+    warm_frac = float(os.environ.get("SPARK_GRAFT_SCALING_WARM_FRAC", "0.06"))
     ricci_curvature_edges(
-        und.sample(False, 0.12, seed=7), method="OTDSinkhornMix", mode="ego"
+        und.sample(False, warm_frac, seed=7), method="OTDSinkhornMix", mode="ego"
     ).count()
     # eval-edge subset (r4-sandwich-5): curvature is evaluated on a FIXED,
     # content-deterministic ~1/3 of the edges (xxhash64(src,dst) bucket —
@@ -346,7 +347,16 @@ def _scaling_child(cpus: int) -> dict:
     # balance fix (~3 s/pass) keeps the floor's share of the wide leg <12%.
     from pyspark.sql import functions as F
 
-    eval_pct = int(os.environ.get("SPARK_GRAFT_SCALING_EVAL_PCT", "35"))
+    # 20% (r4-sandwich-6): the guest-visible per-core speed wobbles ±5-9%
+    # on tens-of-seconds scales with zero steal (per-vCPU ALU probes,
+    # round 4) and slow states dwell for whole legs, so the only lever
+    # left against the 3% narrow-agreement gate is attempt WALL SPAN —
+    # shorter attempts fit stable stretches more often and retry ~2x as
+    # fast. At 20% the serial floor (~3 s/pass, measured: wide_best =
+    # s + W/4 with W ≈ 105 cpu·s at 35%) is ~17% of the wide leg; a
+    # perfectly-scaling engine still reads ~0.87, so the subset cannot
+    # manufacture a pass of the >=0.8 bar.
+    eval_pct = int(os.environ.get("SPARK_GRAFT_SCALING_EVAL_PCT", "20"))
     if eval_pct < 100:
         el = (
             und.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(100)) < eval_pct)
@@ -475,7 +485,7 @@ def main():
 _CACHE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_scaling_cache.json"
 )
-_SCALING_PROTO = "r4-sandwich-5"  # bump when the sandwich protocol changes
+_SCALING_PROTO = "r4-sandwich-6"  # bump when the sandwich protocol changes
 
 
 def _engine_fingerprint() -> str:
@@ -675,14 +685,14 @@ def _scaling_sandwich() -> dict:
         "<= 5% of demanded CPU (busy+steal) on the chosen pass's ACTIVE "
         "cpus (>5% busy duty — idle-vCPU timer-tick steal cannot slow a "
         "leg and is not charged to it); efficiency = (min_narrow / wide) / "
-        "(hi/lo), raw, no hardware adjustment. Eval-edge subset (~35%, "
-        "fixed xxhash64 bucket) shrinks the whole sandwich to ~one host "
-        "frequency epoch (~13 min) while the FULL graph defines "
+        "(hi/lo), raw, no hardware adjustment. Eval-edge subset (fixed "
+        "xxhash64 bucket, n_eval_edges below) shrinks the whole sandwich "
+        "inside one stable host stretch while the FULL graph defines "
         "distributions/distances — per-edge work and partition layout are "
-        "unchanged (r4-sandwich-5)",
-        "workload": "dense ego-net Ollivier (OTDSinkhornMix) on a fixed ~35% "
+        "unchanged (r4-sandwich-6)",
+        "workload": "dense ego-net Ollivier (OTDSinkhornMix) on a fixed "
         "eval-edge subset of the full dense graph, separate JVM per leg, "
-        "0.12-sample warm-up pass before the measured passes",
+        "sampled warm-up pass before the measured passes",
         "cores": [lo, hi],
         "dense_n_edges": best["n_edges"],
         "n_eval_edges": best.get("n_eval_edges"),
