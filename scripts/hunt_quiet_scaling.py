@@ -29,7 +29,14 @@ CACHE = os.path.join(REPO, ".bench_scaling_cache.json")
 LOG = os.environ.get("HUNT_LOG", "/tmp/steal_probe.log")
 BUSY_FLAG = "/tmp/box_busy"
 PROBE_SECS = float(os.environ.get("HUNT_PROBE_SECS", "20"))
-QUIET_SHARE = float(os.environ.get("HUNT_QUIET_SHARE", "0.03"))
+# 0.015 / 4-probe streak (round-4 refinement): attempts launched on the
+# FIRST quiet probe pair systematically ran their first narrow leg in the
+# tail of the fading noise burst (leg-1 slower in 6 of 7 sandwiches, with
+# visibly higher per-pass steal) — the narrow-agreement gate then rejects.
+# Requiring a deeper, longer quiet streak starts the sandwich well inside
+# the quiet phase instead of at its leading edge.
+QUIET_SHARE = float(os.environ.get("HUNT_QUIET_SHARE", "0.015"))
+STREAK = int(os.environ.get("HUNT_STREAK", "4"))
 SLEEP = float(os.environ.get("HUNT_SLEEP", "120"))
 DEADLINE = time.time() + float(os.environ.get("HUNT_BUDGET_SECS", str(5 * 3600)))
 
@@ -102,7 +109,7 @@ def main() -> None:
             time.sleep(SLEEP)
             continue
         streak += 1
-        if streak < 2:
+        if streak < STREAK:
             time.sleep(30)
             continue
         _log("quiet window — launching sandwich attempt")
