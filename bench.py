@@ -327,7 +327,14 @@ def _scaling_child(cpus: int) -> dict:
     # thread's python worker spawns and imports numpy/the .so before the
     # measured pass — a full extra pass would double the narrow leg's
     # wall time without changing what it measures.
-    warm_frac = float(os.environ.get("SPARK_GRAFT_SCALING_WARM_FRAC", "0.06"))
+    # 0.15 (r4-sandwich-7): the wide leg's FIRST measured pass ran 25-40%
+    # slower than its second in every sandwich ([31.6, 22.6], [24.2,
+    # 18.2], [40.8, 29.2] s) with near-zero steal — under-JIT: the warmup
+    # work is split across `cpus` worker threads, so each wide-leg
+    # worker/daemon thread sees 1/cpus of the warmup reps the narrow
+    # leg's single worker gets. 0.15 of the full graph leaves every
+    # wide-leg thread with enough reps that pass 1 ~= pass 2.
+    warm_frac = float(os.environ.get("SPARK_GRAFT_SCALING_WARM_FRAC", "0.15"))
     ricci_curvature_edges(
         und.sample(False, warm_frac, seed=7), method="OTDSinkhornMix", mode="ego"
     ).count()
@@ -347,16 +354,18 @@ def _scaling_child(cpus: int) -> dict:
     # balance fix (~3 s/pass) keeps the floor's share of the wide leg <12%.
     from pyspark.sql import functions as F
 
-    # 20% (r4-sandwich-6): the guest-visible per-core speed wobbles ±5-9%
-    # on tens-of-seconds scales with zero steal (per-vCPU ALU probes,
-    # round 4) and slow states dwell for whole legs, so the only lever
-    # left against the 3% narrow-agreement gate is attempt WALL SPAN —
+    # 30% (r4-sandwich-6/7): the guest-visible per-core speed wobbles
+    # ±5-9% on tens-of-seconds scales with zero steal (per-vCPU ALU
+    # probes, round 4) and slow states dwell for whole legs, so the main
+    # lever against the 3% narrow-agreement gate is attempt WALL SPAN —
     # shorter attempts fit stable stretches more often and retry ~2x as
-    # fast. At 20% the serial floor (~3 s/pass, measured: wide_best =
-    # s + W/4 with W ≈ 105 cpu·s at 35%) is ~17% of the wide leg; a
-    # perfectly-scaling engine still reads ~0.87, so the subset cannot
-    # manufacture a pass of the >=0.8 bar.
-    eval_pct = int(os.environ.get("SPARK_GRAFT_SCALING_EVAL_PCT", "20"))
+    # fast. 30% balances span (~10 min/attempt) against serial-floor
+    # share: with s ≈ 3 s/pass (measured: wide_best = s + W/4, W ≈ 104
+    # cpu·s at 35%) the floor is ~12% of the wide leg — a
+    # perfectly-scaling engine reads ~0.91, so the subset cannot
+    # manufacture a pass of the >=0.8 bar, and a proportional host
+    # slow-state scales both legs and cancels.
+    eval_pct = int(os.environ.get("SPARK_GRAFT_SCALING_EVAL_PCT", "30"))
     if eval_pct < 100:
         el = (
             und.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(100)) < eval_pct)
@@ -485,7 +494,7 @@ def main():
 _CACHE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_scaling_cache.json"
 )
-_SCALING_PROTO = "r4-sandwich-6"  # bump when the sandwich protocol changes
+_SCALING_PROTO = "r4-sandwich-7"  # bump when the sandwich protocol changes
 
 
 def _engine_fingerprint() -> str:
@@ -615,6 +624,14 @@ def _scaling_sandwich() -> dict:
         agree = abs(lo1["curvature_secs"] - lo2["curvature_secs"]) / min(
             lo1["curvature_secs"], lo2["curvature_secs"]
         )
+        # wide-leg internal stability (r4-sandwich-7): the narrow sandwich
+        # cannot see a host-state flip that lands INSIDE the wide leg, and
+        # a mixed-state wide measurement corrupts the efficiency quotient
+        # directly. With warm-up fixed (warm_frac) the wide passes agree
+        # within a few % in a stable window; an 8% spread means the
+        # window moved mid-leg.
+        wp = hig.get("pass_secs") or [hig["curvature_secs"]]
+        wide_spread = (max(wp) - min(wp)) / min(wp) if len(wp) > 1 else 0.0
         # reject the window outright if the hypervisor stole CPU from any
         # measured leg (steal accrues only when this guest wanted CPU and
         # was denied — direct host-noise evidence that the narrow-agreement
@@ -662,7 +679,10 @@ def _scaling_sandwich() -> dict:
                 hig.get("pass_steal_share_active"),
                 lo2.get("pass_steal_share_active"),
             ],
+            "wide_pass_spread": round(wide_spread, 4),
             "accepted": agree <= 0.03
+            and wide_spread
+            <= float(os.environ.get("SPARK_GRAFT_WIDE_SPREAD_MAX", "0.08"))
             and max_steal <= 0.03
             and max_share
             <= float(os.environ.get("SPARK_GRAFT_STEAL_SHARE_MAX", "0.05")),
@@ -681,15 +701,17 @@ def _scaling_sandwich() -> dict:
         "protocol": "sandwich narrow-wide-narrow, each leg best-of-N passes in "
         "one JVM with PER-PASS steal windows; the leg reports its fastest "
         "pass and THAT pass's steal; accept only if the narrow legs' best "
-        "passes agree within 3% AND hypervisor steal <= 3% of the box AND "
-        "<= 5% of demanded CPU (busy+steal) on the chosen pass's ACTIVE "
-        "cpus (>5% busy duty — idle-vCPU timer-tick steal cannot slow a "
-        "leg and is not charged to it); efficiency = (min_narrow / wide) / "
-        "(hi/lo), raw, no hardware adjustment. Eval-edge subset (fixed "
-        "xxhash64 bucket, n_eval_edges below) shrinks the whole sandwich "
-        "inside one stable host stretch while the FULL graph defines "
-        "distributions/distances — per-edge work and partition layout are "
-        "unchanged (r4-sandwich-6)",
+        "passes agree within 3% AND the wide leg's own passes agree within "
+        "8% (a host-state flip inside the wide leg corrupts the quotient "
+        "and the narrow sandwich cannot see it) AND hypervisor steal <= 3% "
+        "of the box AND <= 5% of demanded CPU (busy+steal) on the chosen "
+        "pass's ACTIVE cpus (>5% busy duty — idle-vCPU timer-tick steal "
+        "cannot slow a leg and is not charged to it); efficiency = "
+        "(min_narrow / wide) / (hi/lo), raw, no hardware adjustment. "
+        "Eval-edge subset (fixed xxhash64 bucket, n_eval_edges below) "
+        "shrinks the whole sandwich inside one stable host stretch while "
+        "the FULL graph defines distributions/distances — per-edge work "
+        "and partition layout are unchanged (r4-sandwich-7)",
         "workload": "dense ego-net Ollivier (OTDSinkhornMix) on a fixed "
         "eval-edge subset of the full dense graph, separate JVM per leg, "
         "sampled warm-up pass before the measured passes",
