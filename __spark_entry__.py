@@ -870,6 +870,37 @@ def _q_hyperball(spark, sf):
     return hyperball(und, radius=_NF_RADIUS)
 
 
+def _q_distance_distribution(spark, sf):
+    """Exact bounded distance distribution: ordered (node, x) pair counts
+    per shortest-path distance d = 0..3 on the undirected graph — the
+    statistic behind web-graph effective-diameter reporting."""
+    from graphriccicurvature_spark.operators.linkgraph import distance_distribution
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return distance_distribution(und, radius=3)
+
+
+def _q_effective_diameter(spark, sf):
+    """90%-quantile effective diameter bounded at radius 3 (one row),
+    derived from the exact distance distribution."""
+    from graphriccicurvature_spark.operators.linkgraph import effective_diameter
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return effective_diameter(und, radius=3, quantile=0.9)
+
+
+def _q_hyperball_dd(spark, sf):
+    """HyperBall (HLL-sketch) distance distribution — the scale twin of
+    distance_distribution_3 (approximate: no SQL oracle; the pytest twin
+    checks estimate-vs-exact agreement)."""
+    from graphriccicurvature_spark.operators.linkgraph import (
+        hyperball_distance_distribution,
+    )
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return hyperball_distance_distribution(und, radius=3)
+
+
 def _q_ppr(spark, sf):
     """Personalized PageRank, 5 bounded iterations; seed set = nodes with
     id % 13 == 0 (TrustRank-style seeded reset + dangling-to-seeds)."""
@@ -1013,6 +1044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distance_4": _q_bfs_distance,
         "neighborhood_2": _q_neighborhood,
         "hyperball_2": _q_hyperball,
+        "distance_distribution_3": _q_distance_distribution,
+        "effective_diameter_3": _q_effective_diameter,
+        "hyperball_dd_3": _q_hyperball_dd,
         "cocitation_jaccard": _q_cocitation,
     }
 
@@ -2387,4 +2421,39 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node, count(*) AS ball FROM p GROUP BY node
     """
+    # distance distribution / effective diameter: per-hop DISTINCT pair
+    # closures p0..p3 (unrolled, like the other bounded-radius oracles);
+    # exact-distance counts are consecutive differences of the cumulative
+    # ball sizes, the effective diameter the smallest d covering 90%.
+    _DD = f"""
+        WITH {_E}, {_UND},
+        p0 AS (SELECT src AS node, src AS x FROM sym
+               UNION SELECT dst, dst FROM sym),
+        p1 AS (SELECT * FROM p0 UNION SELECT src, dst FROM sym),
+        p2 AS (SELECT * FROM p1
+               UNION SELECT s1.src, s2.dst
+               FROM sym s1 JOIN sym s2 ON s2.src = s1.dst),
+        p3 AS (SELECT * FROM p2
+               UNION SELECT s1.src, s3.dst
+               FROM sym s1 JOIN sym s2 ON s2.src = s1.dst
+                           JOIN sym s3 ON s3.src = s2.dst),
+        c AS (SELECT 0 AS d, (SELECT count(*) FROM p0) AS cum
+              UNION ALL SELECT 1, (SELECT count(*) FROM p1)
+              UNION ALL SELECT 2, (SELECT count(*) FROM p2)
+              UNION ALL SELECT 3, (SELECT count(*) FROM p3))
+    """
+    sql["distance_distribution_3"] = (
+        _DD
+        + """
+        SELECT d, cum - coalesce(lag(cum) OVER (ORDER BY d), 0) AS pairs
+        FROM c
+    """
+    )
+    sql["effective_diameter_3"] = (
+        _DD
+        + """
+        SELECT min(d) AS effective_diameter FROM c
+        WHERE cum >= 0.9 * (SELECT max(cum) FROM c)
+    """
+    )
     return sql

@@ -334,6 +334,27 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         return hyperball(
             canonicalize(_load_edges(spark, args)), radius=args.radius
         )
+    if op == "distance-distribution":
+        from .operators.linkgraph import distance_distribution
+        from .sources.edges import canonicalize
+
+        return distance_distribution(
+            canonicalize(_load_edges(spark, args)), radius=args.radius
+        )
+    if op == "effective-diameter":
+        from .operators.linkgraph import effective_diameter
+        from .sources.edges import canonicalize
+
+        return effective_diameter(
+            canonicalize(_load_edges(spark, args)), radius=args.radius
+        )
+    if op == "hyperball-dd":
+        from .operators.linkgraph import hyperball_distance_distribution
+        from .sources.edges import canonicalize
+
+        return hyperball_distance_distribution(
+            canonicalize(_load_edges(spark, args)), radius=args.radius
+        )
     sys.exit(f"unknown op {op!r}")
 
 
@@ -343,7 +364,8 @@ OPS = (
     "token-freq hash-split host-stats hits k-core cocitation ppr "
     "adamic-adar clustering assortativity reciprocity avg-neighbor-degree "
     "k-truss bfs neighborhood hyperball salsa sssp harmonic "
-    "hyperball-harmonic"
+    "hyperball-harmonic distance-distribution effective-diameter "
+    "hyperball-dd"
 ).split()
 
 

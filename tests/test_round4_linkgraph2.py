@@ -234,3 +234,64 @@ def test_hyperball_harmonic_estimates_exact(spark):
     assert set(est) == set(exact)
     for v, hc in exact.items():
         assert abs(est[v] - hc) <= max(1.5, 0.06 * hc), (v, est[v], hc)
+
+
+def test_distance_distribution_matches_networkx(spark):
+    """Exact bounded distance distribution vs a networkx BFS replica on
+    karate: ordered-pair counts per distance d = 0..3 must be identical."""
+    import networkx as nx
+    from graphriccicurvature_spark.operators.linkgraph import distance_distribution
+
+    G, und = _karate_und(spark)
+    want = {0: G.number_of_nodes()}
+    for v in G.nodes():
+        for u, d in nx.single_source_shortest_path_length(G, v, cutoff=3).items():
+            if d > 0:
+                want[d] = want.get(d, 0) + 1
+    got = {r.d: r.pairs for r in distance_distribution(und, 3).collect()}
+    assert got == want
+
+
+def test_effective_diameter_matches_closed_form(spark):
+    """effective_diameter = smallest d with cum pairs >= 0.9 * bounded
+    total, cross-checked against the same quantile computed in python."""
+    import networkx as nx
+    from graphriccicurvature_spark.operators.linkgraph import (
+        distance_distribution,
+        effective_diameter,
+    )
+
+    G, und = _karate_und(spark)
+    dd = sorted(
+        (r.d, r.pairs) for r in distance_distribution(und, 3).collect()
+    )
+    total = sum(p for _, p in dd)
+    cum = 0
+    want = None
+    for d, p in dd:
+        cum += p
+        if cum >= 0.9 * total:
+            want = d
+            break
+    got = effective_diameter(und, 3, quantile=0.9).collect()[0].effective_diameter
+    assert got == want
+
+
+def test_hyperball_dd_estimates_exact(spark):
+    """Twin for the no-oracle hyperball_dd_3 driver query: per-distance
+    HLL pair estimates agree with the exact distribution within 5%/±3 of
+    each bucket (lg_k=12 ~1.6% per-ball error, differences amplify)."""
+    from graphriccicurvature_spark.operators.linkgraph import (
+        distance_distribution,
+        hyperball_distance_distribution,
+    )
+
+    G, und = _karate_und(spark)
+    exact = {r.d: r.pairs for r in distance_distribution(und, 3).collect()}
+    est = {
+        r.d: r.pairs_estimate
+        for r in hyperball_distance_distribution(und, 3).collect()
+    }
+    assert set(est) == set(exact)
+    for d, p in exact.items():
+        assert abs(est[d] - p) <= max(3, 0.05 * p), (d, est[d], p)
