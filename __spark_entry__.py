@@ -1419,7 +1419,7 @@ def oracle_sql() -> dict[str, str]:
         freq AS (SELECT s, count(*) AS df_ FROM inv GROUP BY s),
         per AS (
             SELECT i.doc_id, count(*) AS n_shingles,
-                   sum(CASE WHEN f.df_ >= 2 THEN 1 ELSE 0 END) AS n_shared
+                   CAST(sum(CASE WHEN f.df_ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
             FROM inv i JOIN freq f USING (s)
             GROUP BY i.doc_id
         )
@@ -1432,7 +1432,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN per p USING (doc_id)
     """
     sql["hash_split"] = """
-        SELECT split, count(*) AS n_docs, sum(nt) AS n_tokens_total
+        SELECT split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens_total
         FROM (
             SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
                         ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
@@ -1452,9 +1452,9 @@ def oracle_sql() -> dict[str, str]:
                  LATERAL (SELECT unnest(range(0, 6 + (d.doc_id % 3))) AS y) y
         )
         SELECT doc_id, max(w) AS width, max(h) AS height,
-               sum((doc_id + 3*x + 7*y) % 256) AS sum_r,
-               sum((2*doc_id + 5*x) % 256) AS sum_g,
-               sum((doc_id + 11*y) % 256) AS sum_b
+               CAST(sum((doc_id + 3*x + 7*y) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((2*doc_id + 5*x) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((doc_id + 11*y) % 256) AS BIGINT) AS sum_b
         FROM px GROUP BY doc_id
     """
     sql["token_freq_top100"] = f"""
@@ -1573,7 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
                count(*) AS n_pages,
                count(DISTINCT lang) AS n_langs,
-               sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS n_tokens_total
+               CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens_total
         FROM pg GROUP BY host
     """
     # ATD curvature on the unit-weight documents graph: exact BFS distances

@@ -226,7 +226,7 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.linkgraph import k_core
         from .sources.edges import canonicalize
 
-        return k_core(canonicalize(_load_edges(spark, args)), k=args.k)
+        return k_core(canonicalize(_load_edges(spark, args)), k=args.k, rounds=args.rounds)
     if op == "cocitation":
         from .operators.linkgraph import cocitation_jaccard
 
@@ -307,7 +307,7 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.linkgraph import k_truss
         from .sources.edges import canonicalize
 
-        return k_truss(canonicalize(_load_edges(spark, args)), k=args.k)
+        return k_truss(canonicalize(_load_edges(spark, args)), k=args.k, rounds=args.rounds)
     if op == "bfs":
         from .operators.linkgraph import bfs_distance
 
@@ -390,7 +390,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--exp-power", type=float, default=2.0)
     p.add_argument("--nbr-topk", type=int, default=3000)
     p.add_argument("--forman-method", default="augmented", choices=["1d", "augmented"])
-    p.add_argument("--iterations", type=int, default=10)
+    p.add_argument(
+        "--iterations", type=int, default=10,
+        help="iteration budget, reused per-op: pagerank/hits/ppr/salsa power "
+        "iterations, lpa max_iter, flow rounds, sssp rounds, bfs max_hops",
+    )
+    p.add_argument(
+        "--rounds", type=int, default=None,
+        help="k-core / k-truss: bounded peel rounds (default: run the exact "
+        "fixpoint, one count action per peel round)",
+    )
     p.add_argument("--delta", type=float, default=1e-4)
     p.add_argument("--checkpoint-dir", help="flow resume/checkpoint dir")
     p.add_argument("--top-n", type=int, default=100)

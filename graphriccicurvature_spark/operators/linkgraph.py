@@ -43,6 +43,11 @@ def hits(
     (pagerank.py:63-67). Lineage is truncated every round so the plan
     stays bounded at any iteration count.
     """
+    if num_iterations < 1:
+        raise ValueError(
+            f"hits: num_iterations must be >= 1, got {num_iterations} "
+            "(0 iterations would leave authority undefined)"
+        )
     if not directed:
         edges = edges.select("src", "dst", "weight").union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
@@ -55,6 +60,8 @@ def hits(
         .cache()
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("hits: edge DataFrame is empty (no nodes to rank)")
     hub = nodes.withColumn("hub", F.lit(1.0 / n))
     auth = None
     for _ in range(num_iterations):
@@ -92,6 +99,7 @@ def hits(
         )
     out = hub.join(auth, "node")
     e.unpersist()
+    nodes.unpersist()
     return out
 
 
@@ -241,7 +249,13 @@ def personalized_pagerank(
             .transform(truncate_plan)
         )
     out = ranks.select("node", "ppr")
+    # per-round states are eagerly truncated, so every cached input is
+    # droppable here; leaving them pinned accumulates executor storage
+    # across repeated calls in a long-lived driver
     trans.unpersist()
+    nodes.unpersist()
+    base_nodes.unpersist()
+    dangling.unpersist()
     return out
 
 
@@ -362,14 +376,20 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     )
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     recip = e.join(rev, ["src", "dst"], "left_semi")
-    out = e.agg(F.count("*").alias("n_arcs")).crossJoin(
-        F.broadcast(recip.agg(F.count("*").alias("n_reciprocal")))
+    out = (
+        e.agg(F.count("*").alias("n_arcs"))
+        .crossJoin(F.broadcast(recip.agg(F.count("*").alias("n_reciprocal"))))
+        .select(
+            "n_arcs",
+            "n_reciprocal",
+            (F.col("n_reciprocal") / F.col("n_arcs")).alias("reciprocity"),
+        )
+        # 1-row result: materialize it now so the cache on e can be released
+        # without handing the caller a plan that recomputes the dedup 3x
+        .transform(truncate_plan)
     )
-    return out.select(
-        "n_arcs",
-        "n_reciprocal",
-        (F.col("n_reciprocal") / F.col("n_arcs")).alias("reciprocity"),
-    )
+    e.unpersist()
+    return out
 
 
 def average_neighbor_degree(edges: DataFrame) -> DataFrame:
@@ -724,6 +744,8 @@ def salsa(edges: DataFrame, num_iterations: int = 3) -> DataFrame:
         )
     )
     eb.unpersist()
+    auths.unpersist()
+    hubs.unpersist()
     return out
 
 
@@ -888,7 +910,18 @@ def distance_distribution(edges: DataFrame, radius: int) -> DataFrame:
             .agg(F.min("d").alias("d"))
             .transform(truncate_plan)
         )
-    return reach.groupBy("d").agg(F.count("*").alias("pairs"))
+    counts = reach.groupBy("d").agg(F.count("*").alias("pairs"))
+    # groupBy only emits OBSERVED distances; if every ball saturates before
+    # `radius` the tail rows would vanish and the output shape would depend
+    # on the data. Join against the full 0..radius spine so the contract
+    # "radius+1 rows, zero-filled" always holds.
+    spine = edges.sparkSession.range(0, radius + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    return (
+        spine.join(counts, "d", "left")
+        .select("d", F.coalesce("pairs", F.lit(0)).alias("pairs"))
+    )
 
 
 def effective_diameter(
