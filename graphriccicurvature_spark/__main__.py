@@ -355,6 +355,46 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         return hyperball_distance_distribution(
             canonicalize(_load_edges(spark, args)), radius=args.radius
         )
+    if op == "scc":
+        from .operators.webgraph import strongly_connected_components
+
+        return strongly_connected_components(_load_edges(spark, args))
+    if op == "bowtie":
+        from .operators.webgraph import bowtie_classification
+
+        return bowtie_classification(_load_edges(spark, args))
+    if op == "katz":
+        from .operators.webgraph import katz_centrality_bounded
+
+        return katz_centrality_bounded(
+            _load_edges(spark, args), alpha=args.alpha_katz, beta=args.beta,
+            num_iterations=args.iterations, directed=args.directed,
+        )
+    if op == "host-graph":
+        from .operators.webgraph import host_graph
+        from .sources.extract import extract_links
+        from pyspark.sql import functions as FF
+
+        if not args.pages:
+            sys.exit("host-graph needs --pages (url,html parquet)")
+        pages = spark.read.parquet(args.pages)
+        url_edges = (
+            pages.select(
+                FF.col("url").alias("src_url"),
+                FF.explode(extract_links("html")).alias("dst_url"),
+            )
+            .filter(FF.col("src_url") != FF.col("dst_url"))
+            .dropDuplicates(["src_url", "dst_url"])
+        )
+        return host_graph(url_edges, exclude_intra=args.exclude_intra)
+    if op == "url-normalize":
+        from .operators.urltools import normalize_url
+        from pyspark.sql import functions as FF
+
+        if not args.pages:
+            sys.exit("url-normalize needs --pages (url,... parquet)")
+        pages = spark.read.parquet(args.pages)
+        return pages.select("url", normalize_url(FF.col("url")).alias("url_norm"))
     sys.exit(f"unknown op {op!r}")
 
 
@@ -365,7 +405,7 @@ OPS = (
     "adamic-adar clustering assortativity reciprocity avg-neighbor-degree "
     "k-truss bfs neighborhood hyperball salsa sssp harmonic "
     "hyperball-harmonic distance-distribution effective-diameter "
-    "hyperball-dd"
+    "hyperball-dd scc bowtie katz host-graph url-normalize"
 ).split()
 
 
@@ -407,6 +447,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--radius", type=int, default=2,
                    help="neighborhood/hyperball ball radius (hops)")
     p.add_argument("--seeds", help="ppr: comma-separated seed node ids")
+    p.add_argument("--alpha-katz", type=float, default=0.1,
+                   help="katz attenuation factor")
+    p.add_argument("--beta", type=float, default=1.0, help="katz base weight")
+    p.add_argument("--exclude-intra", action="store_true",
+                   help="host-graph: drop same-host links before aggregating")
     p.add_argument("--min-shared", type=int, default=2,
                    help="cocitation: min common citing sources per pair; "
                         "adamic-adar: min common neighbors")

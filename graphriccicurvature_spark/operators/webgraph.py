@@ -1,0 +1,322 @@
+"""Directed web-graph structure operators: strongly connected components,
+Broder bow-tie decomposition, host-level graph rollup, Katz centrality.
+
+These extend the north-rule link-graph family (PageRank / CC / LPA /
+triangles) with the directed-structure analyses run on real crawls:
+Broder et al. 2000 ("Graph structure in the web") decompose the crawl
+into CORE/IN/OUT/TUBES/TENDRILS/DISCONNECTED around the giant SCC, and
+host-level aggregation is the standard anti-spam / sampling rollup.
+
+Design for 100 TB: everything is DataFrame joins + hash aggregations with
+per-round lineage truncation (plans/lineage.py). SCC uses the coloring /
+forward-backward algorithm (Orzan 2004; Slota et al. 2014): each outer
+round trims trivial SCCs (zero in- or out-degree within the active set —
+on crawl snapshots this alone removes most of TENDRILS), min-label
+propagates forward to partition the active set into color classes, then
+marks each class pivot's SCC by backward reachability inside the class.
+Every fixpoint round is one shuffle join + one min-aggregation, the same
+per-round shape (and skew behavior) as a PageRank iteration; convergence
+actions are single-row scalar aggregates. Web graphs converge in few
+outer rounds: one giant SCC plus a shallow periphery (Broder fig. 9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.lineage import truncate_plan
+
+HOST_RE = r"^https?://([^/:]+)(:[0-9]+)?/"
+
+
+def _nodes_of(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def _min_label_fixpoint(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """Propagate min ``lbl`` along arcs src->dst to fixpoint.
+
+    Labels only decrease, so the fixpoint test is ONE scalar aggregate
+    (sum of labels unchanged <=> no label changed) instead of a
+    change-detection join. Per round: one shuffle join + one
+    min-aggregation + lineage truncation.
+    """
+    labels = truncate_plan(labels.select("node", "lbl"))
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    while True:
+        contrib = (
+            e.join(labels, e.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("_nl"))
+        )
+        labels = truncate_plan(
+            labels.join(contrib, "node", "left").select(
+                "node", F.least("lbl", F.coalesce("_nl", "lbl")).alias("lbl")
+            )
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+
+
+def _reach_fixpoint(e: DataFrame, seeds: DataFrame) -> DataFrame:
+    """All nodes reachable FROM ``seeds`` along arcs (seeds included).
+    Frontier BFS: per round one join + distinct + anti-join, lineage
+    truncated; rounds = reach depth (small on web graphs)."""
+    visited = truncate_plan(seeds.select("node").distinct())
+    frontier = visited
+    while True:
+        nxt = truncate_plan(
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        if nxt.count() == 0:
+            return visited
+        visited = truncate_plan(visited.union(nxt).distinct())
+        frontier = nxt
+
+
+def strongly_connected_components(edges: DataFrame) -> DataFrame:
+    """Exact SCCs of the directed graph; returns ``(node, scc_id)`` with
+    ``scc_id`` = the minimum node id in the component (the same labeling
+    convention as undirected connected_components, components.py).
+
+    Coloring / FW-BW outer loop:
+
+    1. **Trim** (to fixpoint): an active node with no in-arc or no
+       out-arc from/to active nodes is its own SCC. Removes the DAG-like
+       periphery (most of a crawl's TENDRILS) with two semi-joins per
+       round.
+    2. **Color**: forward min-label fixpoint over active arcs —
+       ``color(v) = min{id(u) : u ->* v within active}``. Every SCC lands
+       entirely inside one color class.
+    3. **Harvest**: the pivot of class c is the node p with id == c
+       (the class's min id, which reaches the whole class). SCC(p) =
+       {v in class c : v ->* p via arcs inside class c} — found by
+       backward frontier BFS restricted to same-color arcs. Since p
+       reaches every v in its class, every v that reaches p is mutually
+       reachable with p, and p is the minimum id of that SCC.
+    4. Remove all harvested SCCs (one per color class, all classes in
+       parallel), repeat on the remainder.
+
+    Each outer round removes at least one whole SCC per color class, so
+    the loop terminates; on bow-tie-shaped graphs the giant SCC and the
+    periphery go in the first round or two.
+    """
+    e_all = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    active = truncate_plan(_nodes_of(e_all))
+    done: DataFrame | None = None
+    spark = edges.sparkSession
+
+    def add_done(df: DataFrame) -> None:
+        nonlocal done
+        done = df if done is None else truncate_plan(done.union(df))
+
+    while active.count() > 0:
+        # restrict arcs to the active induced subgraph
+        e = truncate_plan(
+            e_all.join(active.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(active.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        # 1. trim to fixpoint
+        while True:
+            has_in = e.select(F.col("dst").alias("node")).distinct()
+            has_out = e.select(F.col("src").alias("node")).distinct()
+            keep = truncate_plan(
+                active.join(has_in, "node", "left_semi").join(
+                    has_out, "node", "left_semi"
+                )
+            )
+            trimmed = active.join(keep, "node", "left_anti")
+            n_trim = trimmed.count()
+            if n_trim == 0:
+                break
+            add_done(trimmed.select("node", F.col("node").alias("scc_id")))
+            active = keep
+            e = truncate_plan(
+                e.join(active.withColumnRenamed("node", "src"), "src", "left_semi")
+                .join(active.withColumnRenamed("node", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+            )
+        if active.count() == 0:
+            break
+        # 2. color: forward min-label fixpoint
+        colors = _min_label_fixpoint(
+            e, active.select("node", F.col("node").alias("lbl"))
+        )
+        # 3. harvest: backward BFS from each pivot inside its color class
+        ce = truncate_plan(
+            e.join(colors.withColumnRenamed("node", "src"), "src")
+            .withColumnRenamed("lbl", "c_src")
+            .join(
+                colors.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "lbl", "c_dst"
+                ),
+                "dst",
+            )
+            .filter(F.col("c_src") == F.col("c_dst"))
+            .select("src", "dst", F.col("c_src").alias("c"))
+        )
+        member = truncate_plan(
+            colors.filter(F.col("node") == F.col("lbl")).select(
+                "node", F.col("lbl").alias("c")
+            )
+        )
+        frontier = member
+        while True:
+            nxt = truncate_plan(
+                ce.join(frontier, (ce.dst == frontier.node) & (ce.c == frontier.c))
+                .select(ce.src.alias("node"), ce.c.alias("c"))
+                .distinct()
+                .join(member, ["node", "c"], "left_anti")
+            )
+            if nxt.count() == 0:
+                break
+            member = truncate_plan(member.union(nxt))
+            frontier = nxt
+        add_done(member.select("node", F.col("c").alias("scc_id")))
+        active = truncate_plan(
+            active.join(member.select("node"), "node", "left_anti")
+        )
+    if done is None:
+        schema = "node long, scc_id long"
+        return spark.createDataFrame([], schema)
+    return done
+
+
+def bowtie_classification(
+    edges: DataFrame, scc: DataFrame | None = None
+) -> DataFrame:
+    """Broder bow-tie decomposition around the giant SCC; returns
+    ``(node, bowtie_class)`` with classes CORE / IN / OUT / TUBE /
+    TENDRIL / DISC.
+
+    CORE = largest SCC (ties -> smaller scc_id). IN = reaches CORE,
+    OUT = reachable from CORE. Of the remainder: TUBE is on an IN->OUT
+    path (reachable from IN and reaches OUT — such paths cannot touch
+    CORE, else the node would be IN/OUT), TENDRIL hangs off IN or leads
+    into OUT but not both, DISC is in another weak component. Costs one
+    SCC + four frontier-BFS fixpoints, all PageRank-iteration-shaped.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nodes = _nodes_of(e)
+    if scc is None:
+        scc = strongly_connected_components(edges)
+    sizes = scc.groupBy("scc_id").agg(F.count("*").alias("n"))
+    top = sizes.orderBy(F.desc("n"), F.asc("scc_id")).limit(1)
+    core = truncate_plan(
+        scc.join(F.broadcast(top), "scc_id", "left_semi").select("node")
+    )
+    fwd = _reach_fixpoint(e, core)  # CORE ∪ OUT
+    bwd = _reach_fixpoint(rev, core)  # CORE ∪ IN
+    out_set = fwd.join(core, "node", "left_anti")
+    in_set = bwd.join(core, "node", "left_anti")
+    rest = (
+        nodes.join(fwd, "node", "left_anti").join(bwd, "node", "left_anti")
+    )
+    # reachable from IN / reaching OUT: restricted to rest automatically —
+    # a rest node on a CORE-touching path would already be IN or OUT
+    from_in = _reach_fixpoint(e, in_set).join(rest, "node", "left_semi")
+    to_out = _reach_fixpoint(rev, out_set).join(rest, "node", "left_semi")
+    cls = (
+        nodes.join(core.withColumn("_core", F.lit(1)), "node", "left")
+        .join(in_set.select("node", F.lit(1).alias("_in")), "node", "left")
+        .join(out_set.select("node", F.lit(1).alias("_out")), "node", "left")
+        .join(from_in.select("node", F.lit(1).alias("_fi")), "node", "left")
+        .join(to_out.select("node", F.lit(1).alias("_to")), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("_core") == 1, "CORE")
+            .when(F.col("_in") == 1, "IN")
+            .when(F.col("_out") == 1, "OUT")
+            .when((F.col("_fi") == 1) & (F.col("_to") == 1), "TUBE")
+            .when((F.col("_fi") == 1) | (F.col("_to") == 1), "TENDRIL")
+            .otherwise("DISC")
+            .alias("bowtie_class"),
+        )
+    )
+    return cls
+
+
+def host_of(url):
+    """Host component of a url column (port stripped)."""
+    return F.regexp_extract(url, HOST_RE, 1)
+
+
+def host_graph(
+    url_edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    exclude_intra: bool = False,
+) -> DataFrame:
+    """Aggregate a page-level url edge table to the host level:
+    ``(src_host, dst_host, n_links)``. The rollup behind host-level
+    PageRank, domain blocklists, and crawl sampling weights — a 100 TB
+    edge table collapses to the host count (~10^8 rows for the full web),
+    after which every downstream graph op is cheap. One projection + one
+    hash aggregation; intra-host links (the vast majority on real crawls)
+    are droppable before the shuffle with ``exclude_intra``."""
+    hg = url_edges.select(
+        host_of(F.col(src_col)).alias("src_host"),
+        host_of(F.col(dst_col)).alias("dst_host"),
+    )
+    if exclude_intra:
+        hg = hg.filter(F.col("src_host") != F.col("dst_host"))
+    return hg.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+
+
+def katz_centrality_bounded(
+    edges: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    num_iterations: int = 3,
+    directed: bool = True,
+) -> DataFrame:
+    """Katz centrality, ``num_iterations`` fixed rounds (no normalization,
+    so a bounded-depth SQL oracle can replay it exactly):
+
+        x_0(v) = beta;   x_{t+1}(v) = beta + alpha * sum_{u->v} w(u,v) x_t(u)
+
+    Returns ``(node, katz)``. Truncating the Neumann series at k rounds
+    counts walks of length <= k into v with geometric damping — the
+    path-counting cousin of PageRank (no out-degree normalization, so
+    hubs are not penalized for fan-out). One shuffle join + one
+    aggregation per round, lineage truncated."""
+    if num_iterations < 1:
+        raise ValueError(f"katz: num_iterations must be >= 1, got {num_iterations}")
+    e = edges.select("src", "dst", "weight")
+    if not directed:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+    nodes = _nodes_of(e)
+    x = nodes.withColumn("katz", F.lit(float(beta)))
+    for _ in range(num_iterations):
+        contrib = (
+            e.join(x, e.src == x.node)
+            .select("dst", (F.col("weight") * F.col("katz")).alias("k"))
+            .groupBy("dst")
+            .agg(F.sum("k").alias("k"))
+        )
+        x = truncate_plan(
+            nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+                "node",
+                (
+                    F.lit(float(beta))
+                    + F.lit(float(alpha)) * F.coalesce("k", F.lit(0.0))
+                ).alias("katz"),
+            )
+        )
+    return x
