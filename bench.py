@@ -154,6 +154,33 @@ def run_bench(spark) -> dict:
     t, _ = _time(lambda: hyperball(und, radius=3).count())
     queries["hyperball_3"] = t
 
+    from graphriccicurvature_spark.operators.webgraph import (
+        host_graph,
+        katz_centrality_bounded,
+        strongly_connected_components,
+    )
+
+    t, _ = _time(lambda: strongly_connected_components(edges).count())
+    queries["scc"] = t
+
+    t, _ = _time(lambda: katz_centrality_bounded(edges, num_iterations=5).count())
+    queries["katz_5it"] = t
+
+    from graphriccicurvature_spark.sources.pages import generate_pages
+    from graphriccicurvature_spark.sources.extract import extract_links
+
+    pages = generate_pages(spark, docs.count())
+    url_edges = (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.explode(extract_links("html")).alias("dst_url"),
+        )
+        .filter(F.col("src_url") != F.col("dst_url"))
+        .dropDuplicates(["src_url", "dst_url"])
+    )
+    t, _ = _time(lambda: host_graph(url_edges).count())
+    queries["host_graph"] = t
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )

@@ -1,0 +1,131 @@
+"""Corpus filtering: the composed keep/drop gate of an LLM training-data
+pipeline, plus deterministic hash sampling.
+
+``document_filter`` composes the engine's per-document signals —
+Gopher-style repetition fractions (textstats.repetition_stats), quality
+ratios (textstats.quality_score), stopword language id
+(textstats.language_id) — into one (doc_id, keep, reasons) verdict table,
+the artifact a curation run actually materializes (RefinedWeb §3, Gopher
+§A1). Every rule is named, so downstream audits can ask "how many docs
+died to each rule" with one groupBy on ``reasons``.
+
+``hash_sample`` is reproducible Bernoulli sampling keyed on content ids:
+keep iff the first 8 md5 hex digits of the key, read as a fraction of
+2^32, fall below ``rate``. Unlike ``df.sample()`` it is stable under
+re-runs, retries, resharding and cluster size — the property a training
+pipeline needs for "sample 10% of host X" decisions that must reproduce.
+
+Shape at 100 TB: quality/lang/dup-token rules are row-local codegen; the
+2-gram/3-gram repetition stats shuffle once per doc (textstats docstring);
+the final verdict is a doc_id-keyed join of per-doc aggregates — no
+cross-document state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import language_id, quality_score, repetition_stats
+
+DEFAULT_RULES = {
+    "min_tokens": 12,
+    "max_dup_token_frac": 0.3,
+    "max_dup_3gram_frac": 0.25,
+    "max_top_2gram_char_frac": 0.2,
+    "min_alpha_ratio": 0.5,
+    "max_punct_ratio": 0.1,
+    "allowed_langs": ("en",),
+}
+
+
+def document_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **overrides,
+) -> DataFrame:
+    """Returns ``(doc_id, n_tokens, lang_pred, keep, reasons)`` where
+    ``reasons`` is the comma-joined sorted list of failed rule names
+    ('' when the document passes everything) and ``keep = reasons == ''``.
+    """
+    cfg = {**DEFAULT_RULES, **overrides}
+    rep = repetition_stats(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("doc_id"),
+        "n_tokens",
+        "dup_token_frac",
+        "dup_3gram_frac",
+        "top_2gram_char_frac",
+    )
+    q = quality_score(docs.select(F.col(id_col).alias("doc_id"), text_col)).select(
+        "doc_id", "alpha_ratio", "punct_ratio"
+    )
+    lang = language_id(docs.select(F.col(id_col).alias("doc_id"), text_col)).select(
+        "doc_id", "lang_pred"
+    )
+    j = rep.join(q, "doc_id").join(lang, "doc_id")
+    rules = [
+        ("too_short", F.col("n_tokens") < cfg["min_tokens"]),
+        ("dup_tokens", F.col("dup_token_frac") > cfg["max_dup_token_frac"]),
+        ("dup_3grams", F.col("dup_3gram_frac") > cfg["max_dup_3gram_frac"]),
+        ("top_2gram", F.col("top_2gram_char_frac") > cfg["max_top_2gram_char_frac"]),
+        ("low_alpha", F.col("alpha_ratio") < cfg["min_alpha_ratio"]),
+        ("high_punct", F.col("punct_ratio") > cfg["max_punct_ratio"]),
+        ("lang", ~F.col("lang_pred").isin(*cfg["allowed_langs"])),
+    ]
+    # sorted rule names -> deterministic reasons string
+    reason_arr = F.array_compact(
+        F.array(
+            *[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in sorted(rules)
+            ]
+        )
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "lang_pred",
+        (F.size(reason_arr) == 0).alias("keep"),
+        F.array_join(reason_arr, ",").alias("reasons"),
+    )
+
+
+def hash_fraction(key) -> F.Column:
+    """Deterministic uniform fraction in [0, 1) from a key column: first
+    8 md5 hex digits / 2^32. Reproducible in any engine with md5."""
+    k = key if not isinstance(key, str) else F.col(key)
+    return F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float | None = None,
+    rates: DataFrame | None = None,
+    stratum_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Reproducible Bernoulli sample: keep rows with
+    ``hash_fraction(salt || key) < rate``.
+
+    Uniform mode (``rate``): one codegen filter, no shuffle, fully
+    pushdown-compatible. Stratified mode (``rates`` = (stratum, rate)
+    DataFrame + ``stratum_col``): per-stratum rates arrive via a
+    broadcast join — the "sample host X at 10%, host Y at 1%" shape of
+    crawl curation. ``salt`` decorrelates independent samples over the
+    same keys."""
+    frac = hash_fraction(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    if rates is not None:
+        if stratum_col is None:
+            raise ValueError("hash_sample: rates DataFrame requires stratum_col")
+        return (
+            df.join(F.broadcast(rates), stratum_col, "left")
+            .filter(frac < F.coalesce(F.col("rate"), F.lit(0.0)))
+            .drop("rate")
+        )
+    if rate is None:
+        raise ValueError("hash_sample: pass rate or rates")
+    return df.filter(frac < F.lit(float(rate)))

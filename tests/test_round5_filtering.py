@@ -1,0 +1,97 @@
+"""Round-5 corpus filtering: composed document_filter verdicts and
+reproducible hash sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphriccicurvature_spark.operators.filtering import (
+    document_filter,
+    hash_fraction,
+    hash_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_document_filter_rules_fire_individually(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and it runs far "
+        "to the old barn where it sleeps for hours in warm hay"
+    )
+    rows = [
+        (0, good),                                   # keep
+        (1, "the cat"),                              # too_short
+        (2, " ".join(["spam"] * 40)),                # dup_tokens (+dup_3grams, top_2gram)
+        (3, good.replace(" ", "!!! ")),              # high_punct (+low_alpha)
+        (4, "le chat la le une des il est sur la le une des il est pour"),  # lang=fr
+    ]
+    out = {r.doc_id: r for r in document_filter(_docs(spark, rows)).collect()}
+    assert out[0].keep and out[0].reasons == ""
+    assert not out[1].keep and "too_short" in out[1].reasons
+    assert not out[2].keep and "dup_tokens" in out[2].reasons
+    assert not out[3].keep and "high_punct" in out[3].reasons
+    assert not out[4].keep and "lang" in out[4].reasons
+    # reasons are sorted and comma-joined -> deterministic string
+    for r in out.values():
+        parts = r.reasons.split(",") if r.reasons else []
+        assert parts == sorted(parts)
+
+
+def test_hash_fraction_uniform_and_stable(spark):
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    fr = df.select(hash_fraction("k").alias("f"))
+    stats = fr.agg(
+        F.min("f").alias("lo"), F.max("f").alias("hi"), F.avg("f").alias("mu")
+    ).collect()[0]
+    assert 0.0 <= stats.lo and stats.hi < 1.0
+    assert abs(stats.mu - 0.5) < 0.03  # uniformity at n=2000
+    # stability: same keys -> identical fractions on recompute
+    a = sorted(r.f for r in fr.collect())
+    b = sorted(r.f for r in df.select(hash_fraction("k").alias("f")).collect())
+    assert a == b
+
+
+def test_hash_sample_uniform_rate(spark):
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    kept = hash_sample(df, key_col="doc_id", rate=0.25).count()
+    assert abs(kept / 4000 - 0.25) < 0.03
+    # monotone: a higher rate keeps a superset
+    k1 = {r.doc_id for r in hash_sample(df, "doc_id", rate=0.1).collect()}
+    k2 = {r.doc_id for r in hash_sample(df, "doc_id", rate=0.3).collect()}
+    assert k1 <= k2
+    # salt decorrelates
+    s = {r.doc_id for r in hash_sample(df, "doc_id", rate=0.1, salt="x").collect()}
+    assert s != k1
+
+
+def test_hash_sample_stratified(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("h")
+    )
+    rates = spark.createDataFrame(
+        [("0", 0.0), ("1", 0.5)], "h string, rate double"
+    )  # stratum "2" missing -> rate 0
+    got = (
+        hash_sample(df, "doc_id", rates=rates, stratum_col="h")
+        .groupBy("h")
+        .count()
+        .collect()
+    )
+    by = {r.h: r["count"] for r in got}
+    assert "0" not in by and "2" not in by
+    assert abs(by["1"] / 1000 - 0.5) < 0.06
+
+
+def test_hash_sample_requires_rate(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="rate"):
+        hash_sample(df, "doc_id")
+    with pytest.raises(ValueError, match="stratum_col"):
+        hash_sample(
+            df, "doc_id",
+            rates=spark.createDataFrame([("a", 0.5)], "h string, rate double"),
+        )
