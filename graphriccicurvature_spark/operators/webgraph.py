@@ -85,8 +85,11 @@ def _min_label_fixpoint(e: DataFrame, labels: DataFrame) -> DataFrame:
 
 def _reach_fixpoint(e: DataFrame, seeds: DataFrame) -> DataFrame:
     """All nodes reachable FROM ``seeds`` along arcs (seeds included).
-    Frontier BFS: per round one join + distinct + anti-join, lineage
-    truncated; rounds = reach depth (small on web graphs)."""
+    Frontier BFS: per round one join + distinct + anti-join; the
+    frontier's lazy checkpoint is materialized by the emptiness count
+    (one job per round), and the visited union's by the NEXT round's
+    count — so each round pays a single action. Rounds = reach depth
+    (small on web graphs)."""
     visited = truncate_plan(seeds.select("node").distinct())
     frontier = visited
     while True:
@@ -94,11 +97,12 @@ def _reach_fixpoint(e: DataFrame, seeds: DataFrame) -> DataFrame:
             e.join(frontier, e.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(visited, "node", "left_anti"),
+            eager=False,
         )
         if nxt.count() == 0:
             return visited
-        visited = truncate_plan(visited.union(nxt).distinct())
+        visited = truncate_plan(visited.union(nxt), eager=False)
         frontier = nxt
 
 
