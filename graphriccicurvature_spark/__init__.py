@@ -24,6 +24,14 @@ Public surface:
   ``degrees`` — north-rule graph kernels.
 - :mod:`operators.dedup`, ``similarity``, ``textstats`` — training-data
   pipeline operators (exact/MinHash/SimHash dedup, ANN cosine, text quality).
+- :mod:`operators.linkgraph` — HITS, SALSA, k-core/k-truss, PPR,
+  Adamic-Adar, clustering/assortativity/reciprocity, BFS/SSSP, harmonic,
+  neighborhood + HyperBall (HLL) family, distance distribution.
+- :mod:`operators.webgraph` — exact SCC, Broder bow-tie decomposition,
+  host-level graph rollup, bounded Katz centrality.
+- :mod:`operators.urltools` — URL canonicalization (codegen column algebra).
+- :mod:`operators.filtering` — composed curation verdicts
+  (``document_filter``) and reproducible md5-fraction ``hash_sample``.
 """
 
 __version__ = "0.1.0"

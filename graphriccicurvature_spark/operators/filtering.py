@@ -50,6 +50,19 @@ def document_filter(
     ('' when the document passes everything) and ``keep = reasons == ''``.
     """
     cfg = {**DEFAULT_RULES, **overrides}
+    # quality_score and language_id are row-local withColumn transforms, so
+    # they ride ONE projection over the input; the only shuffle in the
+    # whole verdict is repetition_stats' per-doc top-2-gram aggregation,
+    # joined back on doc_id (one shuffle join, not three)
+    local = (
+        language_id(
+            quality_score(
+                docs.select(F.col(id_col).alias("doc_id"), text_col), text_col
+            ),
+            text_col,
+        )
+        .select("doc_id", "alpha_ratio", "punct_ratio", "lang_pred")
+    )
     rep = repetition_stats(docs, id_col=id_col, text_col=text_col).select(
         F.col(id_col).alias("doc_id"),
         "n_tokens",
@@ -57,13 +70,7 @@ def document_filter(
         "dup_3gram_frac",
         "top_2gram_char_frac",
     )
-    q = quality_score(docs.select(F.col(id_col).alias("doc_id"), text_col)).select(
-        "doc_id", "alpha_ratio", "punct_ratio"
-    )
-    lang = language_id(docs.select(F.col(id_col).alias("doc_id"), text_col)).select(
-        "doc_id", "lang_pred"
-    )
-    j = rep.join(q, "doc_id").join(lang, "doc_id")
+    j = rep.join(local, "doc_id")
     rules = [
         ("too_short", F.col("n_tokens") < cfg["min_tokens"]),
         ("dup_tokens", F.col("dup_token_frac") > cfg["max_dup_token_frac"]),
