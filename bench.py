@@ -181,6 +181,11 @@ def run_bench(spark) -> dict:
     t, _ = _time(lambda: host_graph(url_edges).count())
     queries["host_graph"] = t
 
+    from graphriccicurvature_spark.operators.filtering import document_filter
+
+    t, _ = _time(lambda: document_filter(docs).count())
+    queries["doc_filter"] = t
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
