@@ -351,6 +351,47 @@ def host_stats(pages: DataFrame) -> DataFrame:
     )
 
 
+def corpus_length_quantiles(
+    df: DataFrame,
+    by_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus length distribution report: doc count plus exact
+    token-count quantiles (p10/p50/p90/p99) and char-length quantiles
+    (p50/p99) — the distribution sheet every curation run prints before
+    choosing truncation and packing lengths.
+
+    Uses Spark's EXACT ``percentile`` aggregate (linear interpolation,
+    value-identical to DuckDB ``quantile_cont``, so the driver oracle
+    pins real values, not an approx sketch). Exact percentile sorts
+    per-group — at 100 TB swap in ``approx_percentile`` (t-digest,
+    mergeable, one pass) for the same report shape; at report
+    granularity (groups = languages/sources) the exact sort is one
+    shuffle keyed by a low-cardinality column, with per-group data
+    parallelized by the range exchange inside the aggregate.
+    """
+    base = df.select(
+        F.col(by_col).alias("grp"),
+        token_count(F.col(text_col)).cast("double").alias("nt"),
+        F.length(F.col(text_col)).cast("double").alias("nc"),
+    )
+    q = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(nt, array(0.1, 0.5, 0.9, 0.99))").alias("tq"),
+        F.expr("percentile(nc, array(0.5, 0.99))").alias("cq"),
+    )
+    return q.select(
+        F.col("grp").alias(by_col),
+        "n_docs",
+        F.round(F.col("tq")[0], 6).alias("tokens_p10"),
+        F.round(F.col("tq")[1], 6).alias("tokens_p50"),
+        F.round(F.col("tq")[2], 6).alias("tokens_p90"),
+        F.round(F.col("tq")[3], 6).alias("tokens_p99"),
+        F.round(F.col("cq")[0], 6).alias("chars_p50"),
+        F.round(F.col("cq")[1], 6).alias("chars_p99"),
+    )
+
+
 def simhash32_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash with md5-derived bits, emitted as a '0'/'1' string.
 

@@ -95,3 +95,27 @@ def test_hash_sample_requires_rate(spark):
             df, "doc_id",
             rates=spark.createDataFrame([("a", 0.5)], "h string, rate double"),
         )
+
+
+def test_corpus_length_quantiles_exact(spark):
+    import numpy as np
+
+    from graphriccicurvature_spark.operators.textstats import (
+        corpus_length_quantiles,
+    )
+
+    rows = [
+        (0, "a b c", "en"), (1, "a b c d e", "en"), (2, "a", "en"),
+        (3, "x y z w", "fr"), (4, "x", "fr"), (5, "", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.lang: r for r in corpus_length_quantiles(df).collect()}
+    toks = {"en": [3, 5, 1], "fr": [4, 1, 0]}
+    for lang, nts in toks.items():
+        r = got[lang]
+        assert r.n_docs == len(nts)
+        # numpy 'linear' interpolation == Spark percentile == quantile_cont
+        for col, q in [("tokens_p10", 0.1), ("tokens_p50", 0.5),
+                       ("tokens_p90", 0.9), ("tokens_p99", 0.99)]:
+            want = round(float(np.percentile(nts, q * 100, method="linear")), 6)
+            assert abs(r[col] - want) < 1e-9, (lang, col, r[col], want)
