@@ -186,3 +186,54 @@ def test_normalize_url_sql_twin_matches(spark):
         expr = normalize_url_sql(f"'{esc}'")
         got = con.execute(f"SELECT {expr}").fetchone()[0]
         assert got == want, (raw, got, want)
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cli_scc_and_katz(spark, tmp_path):
+    from graphriccicurvature_spark.__main__ import main
+
+    out = tmp_path / "scc"
+    main(["scc", "--docs", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"node", "scc_id"}
+    assert df.count() == 500
+
+    out2 = tmp_path / "katz"
+    main(["katz", "--docs", SF, "--output", str(out2), "--iterations", "2",
+          "--alpha-katz", "0.2"])
+    df2 = spark.read.parquet(str(out2))
+    assert set(df2.columns) == {"node", "katz"}
+    assert df2.count() == 500
+
+
+def test_cli_bowtie(spark, tmp_path):
+    from graphriccicurvature_spark.__main__ import main
+
+    out = tmp_path / "bt"
+    main(["bowtie", "--docs", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    classes = {r.bowtie_class for r in df.select("bowtie_class").distinct().collect()}
+    assert "CORE" in classes
+    assert classes <= {"CORE", "IN", "OUT", "TUBE", "TENDRIL", "DISC"}
+
+
+def test_cli_host_graph_and_url_normalize(spark, tmp_path):
+    from graphriccicurvature_spark.__main__ import main
+    from graphriccicurvature_spark.sources.pages import generate_pages
+
+    pages_path = tmp_path / "pages"
+    generate_pages(spark, 60).write.parquet(str(pages_path))
+
+    out = tmp_path / "hg"
+    main(["host-graph", "--pages", str(pages_path), "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"src_host", "dst_host", "n_links"}
+    assert df.count() > 0
+
+    out2 = tmp_path / "urls"
+    main(["url-normalize", "--pages", str(pages_path), "--output", str(out2)])
+    df2 = spark.read.parquet(str(out2))
+    assert set(df2.columns) == {"url", "url_norm"}
+    assert df2.filter(df2.url_norm.startswith("https://site")).count() == 60
