@@ -1,0 +1,55 @@
+"""Plan-shape guards for the round-5 operators: the 100 TB claims in
+PLANS.md ("pure codegen, no UDF, no shuffle") asserted against the actual
+physical plans so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_normalize_url_is_pure_projection(spark):
+    from graphriccicurvature_spark.operators.urltools import normalize_url
+
+    df = spark.range(100).select(
+        F.concat(F.lit("https://h.example/p/"), F.col("id")).alias("url")
+    )
+    p = _plan(df.select(normalize_url("url").alias("n")))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_hash_sample_uniform_is_codegen_filter(spark):
+    from graphriccicurvature_spark.operators.filtering import hash_sample
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    p = _plan(hash_sample(df, "doc_id", rate=0.5))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_host_graph_single_aggregation_no_python(spark):
+    from graphriccicurvature_spark.operators.webgraph import host_graph
+
+    df = spark.range(100).select(
+        F.concat(F.lit("https://a"), (F.col("id") % 7), F.lit(".example/x")).alias("src_url"),
+        F.concat(F.lit("https://b"), (F.col("id") % 5), F.lit(".example/y")).alias("dst_url"),
+    )
+    p = _plan(host_graph(df))
+    # partial + final hash aggregate around exactly one shuffle, all JVM
+    assert p.count("Exchange") == 1, p
+    assert "HashAggregate" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_katz_round_is_join_plus_agg_no_python(spark):
+    from graphriccicurvature_spark.operators.webgraph import katz_centrality_bounded
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    p = _plan(katz_centrality_bounded(e, num_iterations=1))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
