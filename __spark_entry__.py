@@ -1103,6 +1103,35 @@ def _q_corpus_quantiles(spark, sf):
     return corpus_length_quantiles(_docs(spark, sf))
 
 
+def _q_random_walks(spark, sf):
+    """Hash-seeded deterministic random walks (4 steps from every doc_id
+    ≡ 3 mod 50 seed): reproducible sampling whose every visited node the
+    oracle replays via identical md5-index arithmetic."""
+    from graphriccicurvature_spark.operators.webgraph import random_walks
+
+    seeds = _docs(spark, sf).filter(F.col("doc_id") % 50 == 3).select(
+        F.col("doc_id").alias("node")
+    )
+    return random_walks(edges_from_documents(spark, sf), seeds, steps=4)
+
+
+def _q_host_top_pages(spark, sf):
+    """Per-host top-3 pages by PageRank (window row_number over the
+    host partition) — the per-domain ranking report."""
+    from pyspark.sql import Window
+
+    from graphriccicurvature_spark.operators.pagerank import pagerank
+
+    pr = pagerank(edges_from_documents(spark, sf), num_iterations=_PR_ITERS)
+    w = Window.partitionBy("host").orderBy(F.desc("pagerank"), F.asc("node"))
+    return (
+        pr.withColumn("host", F.concat(F.lit("site"), (F.col("node") % 10).cast("string"), F.lit(".example")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("host", "rank", "node", F.round("pagerank", 6).alias("pagerank"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the grading driver records only the
     FIRST 50 entries in CORRECTNESS_r{N}.json (r4 checked exactly
@@ -1200,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_2": _q_hyperball,
         "hyperball_harmonic_2": _q_hyperball_harmonic,
         "hyperball_dd_3": _q_hyperball_dd,
+        "random_walks_4": _q_random_walks,
+        "host_top_pages": _q_host_top_pages,
     }
 
 
@@ -2854,6 +2885,66 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(nc, 0.5), 6) AS chars_p50,
                round(quantile_cont(nc, 0.99), 6) AS chars_p99
         FROM b GROUP BY grp
+    """
+    sql["random_walks_4"] = f"""
+        WITH RECURSIVE {_E},
+        adj AS (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+            FROM edges
+        ),
+        od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        w(seed, step, node) AS (
+            SELECT doc_id, 0, doc_id FROM documents WHERE doc_id % 50 = 3
+            UNION ALL
+            SELECT w.seed, w.step + 1, a.dst
+            FROM w
+            JOIN od ON od.src = w.node
+            JOIN adj a ON a.src = w.node
+               AND a.idx = ('0x' || substring(md5(w.node || '_' || w.step), 1, 8))::BIGINT
+                           % od.od
+            WHERE w.step < 4
+        )
+        SELECT seed, step, node FROM w
+    """
+    sql["host_top_pages"] = f"""
+        WITH RECURSIVE {_E},
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+        full_edges AS (
+            SELECT e.src, e.dst, o.od FROM edges e JOIN outdeg o USING (src)
+            UNION ALL
+            SELECT d.node AS src, t.node AS dst, (SELECT n FROM nn) AS od
+            FROM (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)) d
+            CROSS JOIN nodes t
+        ),
+        pr(iter, node, r) AS (
+            SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM nodes
+            UNION ALL
+            SELECT q.iter + 1, q.dst,
+                   (1 - {_DAMP}) / (SELECT n FROM nn) + {_DAMP} * q.s
+            FROM (
+                SELECT p.iter AS iter, fe.dst AS dst, sum(p.r / fe.od) AS s
+                FROM pr p JOIN full_edges fe ON fe.src = p.node
+                WHERE p.iter < {_PR_ITERS}
+                GROUP BY p.iter, fe.dst
+            ) q
+        ),
+        final AS (SELECT node, r FROM pr WHERE iter = {_PR_ITERS}),
+        ranked AS (
+            SELECT 'site' || (node % 10) || '.example' AS host, node, r,
+                   row_number() OVER (
+                       PARTITION BY node % 10 ORDER BY r DESC, node ASC
+                   ) AS rank
+            FROM final
+        )
+        SELECT host, CAST(rank AS INT) AS rank, node, round(r, 6) AS pagerank
+        FROM ranked WHERE rank <= 3
     """
     sql["host_sample"] = f"""
         WITH pg AS (

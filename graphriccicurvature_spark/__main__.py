@@ -387,6 +387,17 @@ def run_op(spark: SparkSession, args) -> DataFrame:
             .dropDuplicates(["src_url", "dst_url"])
         )
         return host_graph(url_edges, exclude_intra=args.exclude_intra)
+    if op == "random-walks":
+        from .operators.webgraph import random_walks
+
+        if not args.seeds:
+            sys.exit("random-walks needs --seeds (comma-separated node ids)")
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in args.seeds.split(",")], "node long"
+        )
+        return random_walks(
+            _load_edges(spark, args), seeds, steps=args.iterations
+        )
     if op == "url-normalize":
         from .operators.urltools import normalize_url
         from pyspark.sql import functions as FF
@@ -405,7 +416,7 @@ OPS = (
     "adamic-adar clustering assortativity reciprocity avg-neighbor-degree "
     "k-truss bfs neighborhood hyperball salsa sssp harmonic "
     "hyperball-harmonic distance-distribution effective-diameter "
-    "hyperball-dd scc bowtie katz host-graph url-normalize"
+    "hyperball-dd scc bowtie katz host-graph url-normalize random-walks"
 ).split()
 
 

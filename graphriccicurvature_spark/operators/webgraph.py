@@ -297,6 +297,73 @@ def host_graph(
     )
 
 
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic random walks: from every seed, ``steps`` hops where
+    the hop from node v at step t picks out-neighbor index
+    ``md5(salt||v||'_'||t) mod outdeg(v)`` over the dst-sorted adjacency.
+    Returns ``(seed, step, node)`` with step 0 = the seed; walks stop
+    early at sink nodes (no out-arcs).
+
+    The crawl-pipeline sampler: hash-seeded choices make the walk corpus
+    reproducible under re-runs, retries, resharding and cluster size
+    (``df.sample``-based walkers are none of these), and the exact same
+    arithmetic replays in ANSI SQL, so the driver oracle pins every
+    visited node, not a distributional property. Per step: one shuffle
+    join keyed on the current node against a ranked adjacency built once
+    — the PageRank shuffle shape again; lineage truncated per hop.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    from pyspark.sql import Window
+
+    ranked = e.select(
+        "src",
+        "dst",
+        (F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1).alias(
+            "idx"
+        ),
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    adj = truncate_plan(ranked.join(outdeg, "src"))
+    cur = truncate_plan(
+        seeds.select(F.col("node").alias("seed"))
+        .distinct()
+        .select("seed", F.lit(0).alias("step"), F.col("seed").alias("node"))
+    )
+    out = cur
+    for t in range(steps):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(salt),
+                            F.col("node").cast("string"),
+                            F.lit("_"),
+                            F.lit(str(t)),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("od")
+        )
+        cur = truncate_plan(
+            cur.join(adj, cur.node == adj.src)
+            .filter(F.col("idx") == pick)
+            .select("seed", F.lit(t + 1).alias("step"), F.col("dst").alias("node"))
+        )
+        out = out.union(cur)
+    return truncate_plan(out)
+
+
 def katz_centrality_bounded(
     edges: DataFrame,
     alpha: float = 0.1,

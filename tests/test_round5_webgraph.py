@@ -237,3 +237,50 @@ def test_cli_host_graph_and_url_normalize(spark, tmp_path):
     df2 = spark.read.parquet(str(out2))
     assert set(df2.columns) == {"url", "url_norm"}
     assert df2.filter(df2.url_norm.startswith("https://site")).count() == 60
+
+
+def test_random_walks_python_replica(spark):
+    """Every visited node replayed by a pure-python walker using the
+    same md5-index arithmetic, including early stop at sinks."""
+    import hashlib
+
+    arcs = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 0), (2, 3), (3, 4)]
+    # node 4 is a sink
+    from graphriccicurvature_spark.operators.webgraph import random_walks
+
+    e = _edges_df(spark, arcs)
+    seeds = spark.createDataFrame([(0,), (3,), (4,)], "node long")
+    got = {
+        (r.seed, r.step): r.node
+        for r in random_walks(e, seeds, steps=3).collect()
+    }
+
+    adj = {}
+    for s, d in sorted(set(arcs)):
+        adj.setdefault(s, []).append(d)
+    want = {}
+    for seed in (0, 3, 4):
+        node = seed
+        want[(seed, 0)] = node
+        for t in range(3):
+            nbrs = adj.get(node)
+            if not nbrs:
+                break
+            h = int(hashlib.md5(f"{node}_{t}".encode()).hexdigest()[:8], 16)
+            node = nbrs[h % len(nbrs)]
+            want[(seed, t + 1)] = node
+    assert got == want
+
+
+def test_random_walks_salt_and_determinism(spark):
+    from graphriccicurvature_spark.operators.webgraph import random_walks
+
+    arcs = [(i, j) for i in range(20) for j in range(20)
+            if i != j and (i * 7 + j) % 5 == 0]
+    e = _edges_df(spark, arcs)
+    seeds = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    a = sorted(map(tuple, random_walks(e, seeds, steps=4).collect()))
+    b = sorted(map(tuple, random_walks(e, seeds, steps=4).collect()))
+    assert a == b  # reproducible
+    c = sorted(map(tuple, random_walks(e, seeds, steps=4, salt="x").collect()))
+    assert a != c  # salt decorrelates
