@@ -1132,6 +1132,132 @@ def _q_host_top_pages(spark, sf):
     )
 
 
+def _q_condensation(spark, sf):
+    """Condensation DAG of the directed documents graph: one node per SCC,
+    arcs between distinct SCCs with underlying-arc counts — the structure
+    bow-tie reachability and recrawl scheduling actually operate on. The
+    oracle recomputes SCCs from the transitive closure and aggregates the
+    same arcs, pinning SCC + rollup end-to-end."""
+    from graphriccicurvature_spark.operators.webgraph import condensation_graph
+
+    return condensation_graph(edges_from_documents(spark, sf))
+
+
+def _q_topo_levels(spark, sf):
+    """Longest-path levels of the condensation DAG — the parallel wave
+    schedule of the crawl's SCC structure (level k can only be processed
+    after level k-1). Max-relaxation fixpoint vs a recursive-CTE longest
+    path oracle."""
+    from graphriccicurvature_spark.operators.webgraph import (
+        condensation_graph,
+        topological_levels,
+    )
+
+    cond = condensation_graph(edges_from_documents(spark, sf)).select(
+        F.col("scc_src").alias("src"), F.col("scc_dst").alias("dst")
+    )
+    return topological_levels(cond).select(
+        "node", F.col("level").cast("long").alias("level")
+    )
+
+
+def _q_eigenvector(spark, sf):
+    """Eigenvector centrality, 3 unnormalized power steps + one final L1
+    normalization (normalization commutes with the linear iteration, so
+    this equals per-round normalization exactly while staying replayable
+    by a bounded recursive CTE)."""
+    from graphriccicurvature_spark.operators.webgraph import (
+        eigenvector_centrality_bounded,
+    )
+
+    ev = eigenvector_centrality_bounded(
+        edges_from_documents(spark, sf), num_iterations=3
+    )
+    return ev.select("node", F.round("score", 6).alias("score"))
+
+
+def _q_host_modularity(spark, sf):
+    """Newman modularity of the host partition (node % 10 = the site of
+    the deterministic url rule) on the undirected documents graph — the
+    'how site-local is the link structure' score every crawl report
+    carries, computed by the distributed no-collect modularity operator."""
+    from graphriccicurvature_spark.operators.webgraph import partition_modularity
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    nodes = (
+        und.select(F.col("src").alias("node"))
+        .union(und.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    part = nodes.select("node", (F.col("node") % 10).alias("component"))
+    return partition_modularity(und, part).select(
+        "n_components", F.round("modularity", 6).alias("modularity")
+    )
+
+
+def _q_anchor_stats(spark, sf):
+    """Anchor-text index aggregation over the REAL html path: pages ->
+    JVM-codegen anchor extraction (decode + regexp_extract_all +
+    arrays_zip, no UDF) -> per-target term counts. The oracle re-derives
+    both the link rule and the anchor-word rule in SQL, pinning the
+    whole extraction end-to-end."""
+    from graphriccicurvature_spark.sources.extract import anchor_text_stats
+
+    return anchor_text_stats(_pages_of(spark, sf))
+
+
+def _q_pii_redact(spark, sf):
+    """PII scrub over deterministically augmented text (the synthetic
+    corpus carries no emails/phones, so the query plants one email per
+    doc and one long digit run per doc_id % 3 == 0 — the SAME
+    augmentation runs in the oracle, making redaction value-checkable)."""
+    from graphriccicurvature_spark.operators.textstats import pii_redact
+
+    d = F.col("doc_id")
+    aug = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@mail"),
+            (d % 7).cast("string"),
+            F.lit(".example"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" or call "), (F.lit(5550000) + d * 7).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    r = pii_redact(aug)
+    return r.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "text_redacted",
+    )
+
+
+def _q_pack_docs(spark, sf):
+    """Deterministic bucketed sequence packing (budget 64 tokens, 8
+    hash buckets): every doc's (bucket, bin, start offset) is a pure
+    function of the corpus, replayed exactly by the oracle's window
+    cumulative sum. `start_tok` instead of `offset` — OFFSET is reserved
+    in DuckDB."""
+    from graphriccicurvature_spark.operators.filtering import pack_documents
+
+    p = pack_documents(_docs(spark, sf), budget=64, n_buckets=8)
+    return p.select(
+        "id",
+        "bucket",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("offset").cast("long").alias("start_tok"),
+        "bin_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the grading driver records only the
     FIRST 50 entries in CORRECTNESS_r{N}.json (r4 checked exactly
@@ -1231,6 +1357,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_dd_3": _q_hyperball_dd,
         "random_walks_4": _q_random_walks,
         "host_top_pages": _q_host_top_pages,
+        "condensation": _q_condensation,
+        "topo_levels": _q_topo_levels,
+        "eigenvector_3": _q_eigenvector,
+        "host_modularity": _q_host_modularity,
+        "anchor_stats": _q_anchor_stats,
+        "pii_redact": _q_pii_redact,
+        "pack_docs": _q_pack_docs,
     }
 
 
@@ -2957,5 +3090,158 @@ def oracle_sql() -> dict[str, str]:
         WHERE ('0x' || substring(md5(url), 1, 8))::BIGINT / 4294967296.0
               < (k + 1) / 20.0
         GROUP BY k
+    """
+    # --- round 5b: condensation / levels / eigenvector / modularity /
+    #     anchors / pii / packing ------------------------------------
+    sql["condensation"] = f"""
+        WITH RECURSIVE {_CLOSURE}
+        SELECT ls.scc_id AS scc_src, ld.scc_id AS scc_dst,
+               CAST(count(*) AS BIGINT) AS n_arcs
+        FROM (SELECT DISTINCT src, dst FROM edges WHERE src <> dst) e
+        JOIN scc ls ON ls.node = e.src
+        JOIN scc ld ON ld.node = e.dst
+        WHERE ls.scc_id <> ld.scc_id
+        GROUP BY 1, 2
+    """
+    sql["topo_levels"] = f"""
+        WITH RECURSIVE {_CLOSURE},
+        cond AS (
+            SELECT DISTINCT ls.scc_id AS src, ld.scc_id AS dst
+            FROM (SELECT DISTINCT src, dst FROM edges WHERE src <> dst) e
+            JOIN scc ls ON ls.node = e.src
+            JOIN scc ld ON ld.node = e.dst
+            WHERE ls.scc_id <> ld.scc_id
+        ),
+        cn AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM cond UNION ALL SELECT dst FROM cond
+            )
+        ),
+        lev(node, l) AS (
+            SELECT node, 0 FROM cn
+            UNION
+            SELECT c.dst, lev.l + 1 FROM lev JOIN cond c ON c.src = lev.node
+        )
+        SELECT node, CAST(max(l) AS BIGINT) AS level FROM lev GROUP BY node
+    """
+    sql["eigenvector_3"] = f"""
+        WITH RECURSIVE {_E},
+        gnodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        ke AS (
+            SELECT src, dst, weight FROM edges
+            UNION ALL
+            SELECT node AS src, node AS dst, CAST(0.0 AS DOUBLE) AS weight
+            FROM gnodes
+        ),
+        ev(iter, node, x) AS (
+            SELECT 0, node, CAST(1.0 AS DOUBLE) FROM gnodes
+            UNION ALL
+            SELECT q.iter + 1, q.dst, q.s
+            FROM (
+                SELECT k.iter AS iter, e.dst AS dst, sum(e.weight * k.x) AS s
+                FROM ev k JOIN ke e ON e.src = k.node
+                WHERE k.iter < 3
+                GROUP BY k.iter, e.dst
+            ) q
+        )
+        SELECT node,
+               round(x / nullif((SELECT sum(abs(x)) FROM ev WHERE iter = 3), 0), 6)
+                   AS score
+        FROM ev WHERE iter = 3
+    """
+    sql["host_modularity"] = f"""
+        WITH {_E}, {_UND},
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        lab AS (SELECT node, node % 10 AS c FROM nodes),
+        j AS (
+            SELECT ls.c AS c_src, ld.c AS c_dst, u.weight
+            FROM und u JOIN lab ls ON ls.node = u.src
+                       JOIN lab ld ON ld.node = u.dst
+        ),
+        contrib AS (
+            SELECT c_src AS c, weight,
+                   CASE WHEN c_src = c_dst THEN weight ELSE 0.0 END AS win
+            FROM j
+            UNION ALL
+            SELECT c_dst, weight, 0.0 FROM j
+        ),
+        per_c AS (
+            SELECT c, sum(weight) AS deg_c, sum(win) AS win_c
+            FROM contrib GROUP BY c
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_components,
+               round(sum(win_c) / (sum(deg_c) / 2.0)
+                     - sum(deg_c * deg_c) / (sum(deg_c) * sum(deg_c)), 6)
+                   AS modularity
+        FROM per_c
+    """
+    sql["anchor_stats"] = f"""
+        WITH pl AS (
+            SELECT d.doc_id AS i,
+                   (d.doc_id * 31 + j.j * 17 + 7)
+                       % (SELECT count(*) FROM documents) AS dd
+            FROM documents d,
+                 LATERAL (SELECT unnest(generate_series(0, d.doc_id % 5 - 1)) AS j) j
+            WHERE d.doc_id % 5 > 0
+        ),
+        an AS (
+            SELECT {_URL.format(i="dd")} AS dst_url,
+                   {_warr}[((i * 13 + dd * 29 + 3) % {_wn}) + 1] AS anchor
+            FROM pl WHERE dd <> i
+        )
+        SELECT dst_url, anchor, CAST(count(*) AS BIGINT) AS n
+        FROM an GROUP BY 1, 2
+    """
+    _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _PII_PHONE = "[0-9]{7,}"
+    sql["pii_redact"] = f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@mail'
+                        || (doc_id % 7) || '.example'
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN ' or call ' || (5550000 + doc_id * 7)
+                                ELSE '' END AS t
+            FROM documents
+        ),
+        em AS (
+            SELECT doc_id, t,
+                   regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+            FROM aug
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t1, '{_PII_PHONE}')) AS BIGINT)
+                   AS n_phones,
+               regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS text_redacted
+        FROM em
+    """
+    sql["pack_docs"] = """
+        WITH b AS (
+            SELECT doc_id AS id,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 8 AS bucket,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT id, bucket, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY bucket ORDER BY id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS st
+            FROM b
+        )
+        SELECT id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(st AS BIGINT) AS start_tok,
+               CAST(floor(st / 64.0) AS BIGINT) AS bin_id
+        FROM c
     """
     return sql

@@ -136,3 +136,64 @@ def hash_sample(
     if rate is None:
         raise ValueError("hash_sample: pass rate or rates")
     return df.filter(frac < F.lit(float(rate)))
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic sequence packing for LLM training: assign every
+    document to a fixed-token-budget bin. Returns
+    ``(id, bucket, bin_id, n_tokens, offset)`` where ``offset`` is the
+    token position the doc would start at inside its bucket's stream.
+
+    Packing is inherently sequential (a doc's bin depends on everything
+    packed before it), which is why naive implementations sort the corpus
+    globally and stream it through one process. The scalable form used
+    here: shard docs into ``n_buckets`` independent streams by a
+    deterministic md5 bucket of the id, order each stream by id, and run
+    the greedy "next bin when the budget is crossed" rule per stream via
+    a window cumulative sum — ``bin_id = floor(exclusive_cumsum /
+    budget)``. Each bucket's window is an independent partition, so the
+    only shuffle is the bucket hash partitioning and parallelism =
+    n_buckets regardless of corpus size (set n_buckets ~ cluster cores at
+    100 TB). Every assignment is a pure function of (id set, budget,
+    n_buckets): re-runs, retries, and cluster resizes reproduce the same
+    packing — the property that makes packed-corpus checkpoints
+    resumable. Replayable exactly in ANSI SQL (same md5 arithmetic as
+    :func:`hash_fraction`, same window frame), so the driver oracle pins
+    every bin assignment.
+
+    Docs longer than ``budget`` still get a bin (their own cumsum span);
+    a training loader would chunk them downstream — chunking is a
+    row-local explode, packing is the cross-row part that needs this
+    operator.
+    """
+    from .textstats import token_count
+
+    if budget < 1:
+        raise ValueError(f"pack_documents: budget must be >= 1, got {budget}")
+    from pyspark.sql import Window
+
+    idc = F.col(id_col)
+    bucket = (
+        F.conv(F.substring(F.md5(idc.cast("string")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).alias("bucket")
+    base = df.select(
+        idc.alias("id"), bucket, token_count(F.col(text_col)).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.select(
+        "id",
+        "bucket",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("offset"),
+    ).withColumn("bin_id", (F.col("offset") / F.lit(int(budget))).cast("long"))

@@ -426,3 +426,38 @@ def simhash32_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         .join(signed, "id", "left")
         .select("id", F.coalesce("simhash_bits", F.lit("0" * 32)).alias("simhash_bits"))
     )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark codegen)
+# and RE2 (DuckDB): character classes, bounded quantifiers, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"[0-9]{7,}"
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails and long digit runs (>= 7 digits — phone/account
+    numbers) from a text column; returns ``(id, n_emails, n_phones,
+    text_redacted)``. Emails are replaced first so their digit parts are
+    not double-counted as phones.
+
+    The standard pre-training scrub pass. Pure whole-stage codegen —
+    ``regexp_extract_all`` for the counts, two ``regexp_replace`` for the
+    rewrite — so redaction rides inside the scan stage of whatever
+    pipeline consumes the text (zero extra passes at 100 TB); the regexes
+    use only syntax with identical semantics in Java regex and RE2,
+    keeping the DuckDB oracle value-exact.
+    """
+    t = F.col(text_col)
+    emails_gone = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(emails_gone, F.lit(PII_PHONE_RE), 0)
+        ).alias("n_phones"),
+        F.regexp_replace(emails_gone, PII_PHONE_RE, "<PHONE>").alias(
+            "text_redacted"
+        ),
+    )

@@ -407,3 +407,180 @@ def katz_centrality_bounded(
             )
         )
     return x
+
+
+def condensation_graph(
+    edges: DataFrame, scc: DataFrame | None = None
+) -> DataFrame:
+    """Condensation DAG of the directed graph: one node per SCC, one arc
+    per ordered pair of distinct SCCs with at least one underlying arc.
+    Returns ``(scc_src, scc_dst, n_arcs)``.
+
+    The crawl-structure workhorse after SCC itself: the condensation is
+    what bow-tie reachability, frontier scheduling, and dead-end pruning
+    actually operate on, and at web scale it is dramatically smaller than
+    the page graph (the giant CORE collapses to a single node). Cost
+    beyond SCC: two label-lookup joins keyed on node (same shape as the
+    PageRank contribution join) + one hash aggregation with map-side
+    partial combine absorbing the giant component's intra-arcs.
+    """
+    if scc is None:
+        scc = strongly_connected_components(edges)
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    lab_s = scc.select(F.col("node").alias("src"), F.col("scc_id").alias("scc_src"))
+    lab_d = scc.select(F.col("node").alias("dst"), F.col("scc_id").alias("scc_dst"))
+    return (
+        e.join(lab_s, "src")
+        .join(lab_d, "dst")
+        .filter(F.col("scc_src") != F.col("scc_dst"))
+        .groupBy("scc_src", "scc_dst")
+        .agg(F.count(F.lit(1)).alias("n_arcs"))
+    )
+
+
+def topological_levels(
+    dag_edges: DataFrame, max_rounds: int | None = None
+) -> DataFrame:
+    """Longest-path level of every node in a DAG: ``level(v)`` = length of
+    the longest arc path ending at v (sources have level 0). Returns
+    ``(node, level)``.
+
+    Levels ARE the parallel schedule of a DAG — all nodes of one level
+    can be processed concurrently once the previous level is done — which
+    is how recrawl waves and dependency-ordered recomputations are
+    scheduled over a condensation. Iterative max-relaxation: per round
+    one shuffle join keyed src + one max-aggregation keyed node (the
+    PageRank round shape), lineage truncated per round; levels only
+    increase and are bounded by the DAG depth, so the fixpoint test is a
+    single scalar sum like the SCC coloring loop. Rounds = DAG depth —
+    small for condensations of crawl snapshots (shallow bow-tie
+    periphery around one collapsed CORE).
+
+    Cycles would diverge, so the loop aborts past ``max_rounds``
+    (default: number of nodes, the longest possible simple path).
+    """
+    e = dag_edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    nodes = _nodes_of(e)
+    lev = truncate_plan(nodes.select("node", F.lit(0).alias("level")))
+    cap = max_rounds if max_rounds is not None else nodes.count()
+    prev_sum = 0
+    for r in range(cap + 1):
+        contrib = (
+            e.join(lev, e.src == lev.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.max("level") + 1).alias("_nl"))
+        )
+        lev = truncate_plan(
+            lev.join(contrib, "node", "left").select(
+                "node", F.greatest("level", F.coalesce("_nl", "level")).alias("level")
+            ),
+            eager=False,
+        )
+        cur_sum = lev.agg(F.sum("level")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return lev
+        prev_sum = cur_sum
+    raise ValueError(
+        f"topological_levels: no fixpoint after {cap} rounds — input has a cycle "
+        "(run strongly_connected_components/condensation_graph first)"
+    )
+
+
+def eigenvector_centrality_bounded(
+    edges: DataFrame,
+    num_iterations: int = 3,
+    directed: bool = True,
+) -> DataFrame:
+    """Eigenvector centrality by ``num_iterations`` unnormalized power
+    steps ``x_{t+1}(v) = sum_{u->v} w(u,v) * x_t(u)`` from x_0 = 1,
+    followed by ONE final L1 normalization. Returns ``(node, score)``.
+
+    Katz's un-damped cousin (reference exposes curvature-weighted graphs
+    whose dominant eigenvector is the natural importance measure; PageRank
+    is this plus teleport + out-degree normalization). Normalizing once at
+    the end instead of per round changes nothing mathematically (the
+    iteration is linear, so scaling commutes) and keeps every round free
+    of driver actions AND exactly replayable by a bounded recursive-CTE
+    oracle — a per-round global L2 scalar would force a crossJoin
+    broadcast per round like HITS. Per round one shuffle join + one sum
+    aggregation; the final normalizer is a single-row aggregate joined
+    back by crossJoin broadcast.
+    """
+    if num_iterations < 1:
+        raise ValueError(
+            f"eigenvector_centrality: num_iterations must be >= 1, got {num_iterations}"
+        )
+    e = edges.select("src", "dst", "weight")
+    if not directed:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+    nodes = _nodes_of(e)
+    x = nodes.withColumn("x", F.lit(1.0))
+    for _ in range(num_iterations):
+        contrib = (
+            e.join(x, e.src == x.node)
+            .select("dst", (F.col("weight") * F.col("x")).alias("v"))
+            .groupBy("dst")
+            .agg(F.sum("v").alias("v"))
+        )
+        x = truncate_plan(
+            nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+                "node", F.coalesce("v", F.lit(0.0)).alias("x")
+            )
+        )
+    tot = x.agg(F.sum(F.abs(F.col("x"))).alias("_tot"))
+    return x.crossJoin(F.broadcast(tot)).select(
+        "node",
+        F.when(F.col("_tot") > 0, F.col("x") / F.col("_tot"))
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+
+
+def partition_modularity(edges: DataFrame, partition: DataFrame) -> DataFrame:
+    """Newman modularity of ``partition`` (node, component) on the
+    undirected weighted graph, returned as a one-row DataFrame
+    ``(n_components, modularity)`` — the distributed, no-collect twin of
+    :func:`..community.modularity` (same formula,
+    Q = W_in/m - sum_c deg_c^2 / (4 m^2)), shaped for query pipelines
+    that score a labeling (host partition, LPA labels, flow communities)
+    without pulling anything to the driver.
+
+    Two shuffle joins to attach labels + two hash aggregations (component
+    then global) — constant job count at any scale; the global stage
+    reduces to one row.
+    """
+    e = edges.select("src", "dst", "weight")
+    p_src = partition.select(
+        F.col("node").alias("src"), F.col("component").alias("c_src")
+    )
+    p_dst = partition.select(
+        F.col("node").alias("dst"), F.col("component").alias("c_dst")
+    )
+    j = e.join(p_src, "src").join(p_dst, "dst")
+    contrib = j.select(
+        F.col("c_src").alias("c"),
+        "weight",
+        F.when(F.col("c_src") == F.col("c_dst"), F.col("weight"))
+        .otherwise(F.lit(0.0))
+        .alias("win"),
+    ).union(j.select(F.col("c_dst").alias("c"), "weight", F.lit(0.0)))
+    per_c = contrib.groupBy("c").agg(
+        F.sum("weight").alias("deg_c"), F.sum("win").alias("win_c")
+    )
+    return per_c.agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("deg_c").alias("_sumdeg"),
+        F.sum("win_c").alias("_win"),
+        F.sum(F.col("deg_c") * F.col("deg_c")).alias("_sumdeg2"),
+    ).select(
+        "n_components",
+        F.when(
+            F.col("_sumdeg") > 0,
+            F.col("_win") / (F.col("_sumdeg") / 2.0)
+            - F.col("_sumdeg2") / (F.col("_sumdeg") * F.col("_sumdeg")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("modularity"),
+    )

@@ -63,3 +63,45 @@ def pages_to_edges(pages: DataFrame) -> DataFrame:
         .withColumn("weight", F.lit(1.0))
     )
     return edges, verts
+
+
+_A_TAG_RE = r'<a href="([^"]+)">([^<]*)</a>'
+
+
+def extract_anchor_pairs(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url, anchor) per link, INCLUDING the anchor text —
+    the signal behind anchor-text indexing (the classic web-search
+    relevance feature: what OTHER pages call a url).
+
+    Unlike :func:`extract_links` this stays entirely JVM-side: decode the
+    html bytes + two ``regexp_extract_all`` passes (group 1 = href,
+    group 2 = anchor text) zipped positionally with ``arrays_zip`` — all
+    whole-stage codegen, so anchor extraction rides inside the same scan
+    stage as any downstream filter at zero extra passes. The pandas-UDF
+    extractors above remain the pattern for real-world HTML (entities,
+    nesting); for the deterministic corpus the two agree exactly, which
+    the pairs-vs-extract_links parity test pins.
+    """
+    h = F.decode(F.col("html"), "UTF-8")
+    hrefs = F.regexp_extract_all(h, F.lit(_A_TAG_RE), 1)
+    anchors = F.regexp_extract_all(h, F.lit(_A_TAG_RE), 2)
+    return (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.explode(F.arrays_zip(hrefs.alias("dst_url"), anchors.alias("anchor"))).alias("z"),
+        )
+        .select("src_url", F.col("z.dst_url").alias("dst_url"), F.col("z.anchor").alias("anchor"))
+    )
+
+
+def anchor_text_stats(pages: DataFrame) -> DataFrame:
+    """Per-target-url anchor-term frequencies ``(dst_url, anchor, n)`` —
+    the aggregation behind an anchor-text index. One explode + one hash
+    aggregation with map-side partial combine; the explode fan-out is the
+    page's outlink count, so partitions stay input-proportional."""
+    return (
+        extract_anchor_pairs(pages)
+        .filter(F.col("src_url") != F.col("dst_url"))
+        .groupBy("dst_url", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

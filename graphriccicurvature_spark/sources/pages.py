@@ -61,6 +61,13 @@ def page_outlinks(i: int, n: int) -> list[int]:
     return out
 
 
+def anchor_word(i: int, d: int) -> str:
+    """Deterministic anchor text of the link from page i to page d —
+    a pure function of (source, destination) so the DuckDB anchor oracle
+    replays it without tracking link positions."""
+    return _WORDS[(i * 13 + d * 29 + 3) % len(_WORDS)]
+
+
 def generate_pages(spark: SparkSession, n: int, n_sites: int = 10) -> DataFrame:
     """Deterministic pages table with ``n`` rows."""
 
@@ -72,7 +79,8 @@ def generate_pages(spark: SparkSession, n: int, n_sites: int = 10) -> DataFrame:
                 i = int(i)
                 text = page_text(i)
                 anchors = "".join(
-                    f'<a href="{page_url(j, n_sites)}">l</a>' for j in page_outlinks(i, n)
+                    f'<a href="{page_url(d, n_sites)}">{anchor_word(i, d)}</a>'
+                    for d in page_outlinks(i, n)
                 )
                 html = f"<html><body><p>{text}</p>{anchors}</body></html>".encode("utf-8")
                 rows["url"].append(page_url(i, n_sites))
