@@ -1258,6 +1258,57 @@ def _q_pack_docs(spark, sf):
     )
 
 
+def _q_events_sessions(spark, sf):
+    """Per-user sessionization (30-min inactivity gap) via
+    ``F.session_window`` in batch mode — the oracle replays Spark's
+    session semantics gaps-and-islands style (break when the gap to the
+    previous event is >= 30 min; session_end = last event + gap)."""
+    from graphriccicurvature_spark.streaming.events import (
+        session_event_counts_batch,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return session_event_counts_batch(ev, "30 minutes").select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def _q_tfidf(spark, sf):
+    """Top-3 TF-IDF terms per document (sklearn's smoothed idf), ties
+    broken lexicographically — keyword extraction for curation reports."""
+    from graphriccicurvature_spark.operators.textstats import tfidf_top_terms
+
+    t = tfidf_top_terms(_docs(spark, sf), k=3)
+    return t.select(
+        F.col("id").alias("doc_id"),
+        "term",
+        "tf",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_betweenness(spark, sf):
+    """Brandes betweenness accumulated from 4 fixed pivot sources
+    (nodes 1,2,3,5) on the undirected documents graph — the
+    Brandes-Pich sampled estimator that is the only tractable
+    betweenness at web scale. The oracle recomputes the identical
+    quantity from the closed form sum_{s,t} [d(s,v)+d(v,t)=d(s,t)] *
+    sigma(s,v)*sigma(v,t)/sigma(s,t) via walk-count CTEs."""
+    from graphriccicurvature_spark.operators.webgraph import (
+        betweenness_from_sources,
+    )
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    srcs = spark.createDataFrame([(1,), (2,), (3,), (5,)], "node long")
+    bc = betweenness_from_sources(und, srcs, directed=False)
+    return bc.select("node", F.round("betweenness", 6).alias("betweenness"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the grading driver records only the
     FIRST 50 entries in CORRECTNESS_r{N}.json (r4 checked exactly
@@ -1364,6 +1415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": _q_anchor_stats,
         "pii_redact": _q_pii_redact,
         "pack_docs": _q_pack_docs,
+        "events_sessions": _q_events_sessions,
+        "tfidf_top3": _q_tfidf,
+        "betweenness_4src": _q_betweenness,
     }
 
 
@@ -3243,5 +3297,101 @@ def oracle_sql() -> dict[str, str]:
                CAST(st AS BIGINT) AS start_tok,
                CAST(floor(st / 64.0) AS BIGINT) AS bin_id
         FROM c
+    """
+    # gaps-and-islands replay of Spark's session_window semantics: a new
+    # session starts when the gap to the previous event is >= 30 min;
+    # session_end = last event + gap
+    sql["events_sessions"] = """
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM o
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM s GROUP BY user_id, sid
+    """
+    sql["tfidf_top3"] = f"""
+        WITH {_TOKS},
+        term AS (
+            SELECT doc_id AS id, unnest(t) AS term FROM toks
+        ),
+        tf AS (
+            SELECT id, term, count(*) AS tf FROM term GROUP BY id, term
+        ),
+        dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.id, tf.term, tf.tf,
+                   tf.tf * (ln(((SELECT count(*) FROM documents) + 1.0)
+                                / (dfreq.df + 1.0)) + 1.0) AS score
+            FROM tf JOIN dfreq USING (term)
+        ),
+        ranked AS (
+            SELECT id, term, tf, score,
+                   row_number() OVER (
+                       PARTITION BY id ORDER BY score DESC, term ASC
+                   ) AS rank
+            FROM scored
+        )
+        SELECT id AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+               round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+    # Brandes betweenness from pivots {1,2,3,5}, closed form: walks of
+    # length exactly k (bounded by 12 > diameter 9 of the F2 graph) give
+    # shortest-path counts sigma at k = d; then
+    #   bc(v) = sum_{s in S, t} [d(s,v)+d(v,t) = d(s,t)] *
+    #           sigma(s,v) * sigma(v,t) / sigma(s,t)
+    # over t != s != v != t — Brandes' theorem makes this equal the
+    # engine's forward/backward dependency accumulation exactly.
+    sql["betweenness_4src"] = f"""
+        WITH RECURSIVE {_E}, {_UND},
+        gnodes AS (SELECT DISTINCT src AS node FROM sym),
+        wk(it, s, v, n) AS (
+            SELECT 0, node, node, CAST(1 AS DOUBLE) FROM gnodes
+            UNION ALL
+            SELECT q.it + 1, q.s, q.dst, q.n
+            FROM (
+                SELECT w.it AS it, w.s AS s, e.dst AS dst, sum(w.n) AS n
+                FROM wk w JOIN sym e ON e.src = w.v
+                WHERE w.it < 12
+                GROUP BY w.it, w.s, e.dst
+            ) q
+        ),
+        sp AS (
+            SELECT s, v, min(it) AS d FROM wk GROUP BY s, v
+        ),
+        sig AS (
+            SELECT sp.s, sp.v, sp.d, wk.n AS sigma
+            FROM sp JOIN wk ON wk.s = sp.s AND wk.v = sp.v AND wk.it = sp.d
+        ),
+        bc AS (
+            SELECT sv.v AS node, sum(sv.sigma * vt.sigma / st.sigma) AS b
+            FROM sig sv
+            JOIN sig vt ON vt.s = sv.v
+            JOIN sig st ON st.s = sv.s AND st.v = vt.v
+            WHERE sv.s IN (1, 2, 3, 5)
+              AND st.d = sv.d + vt.d
+              AND sv.v <> sv.s AND vt.v <> sv.v AND vt.v <> sv.s
+        )
+        SELECT n.node, round(coalesce(bc.b, 0.0), 6) AS betweenness
+        FROM gnodes n LEFT JOIN bc ON bc.node = n.node
     """
     return sql

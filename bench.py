@@ -484,12 +484,25 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         print(json.dumps(_scaling_child(int(sys.argv[2]))))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--pr-scaling-child":
+        print(json.dumps(_pr_scaling_child(int(sys.argv[2]))))
+        return
 
     if os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1":
-        # retry just the sandwich (e.g. hunting a quiet host window after a
-        # rejected attempt) without re-paying the ~10 min main section; an
-        # accepted result lands in the cache for the next full bench run
-        print(json.dumps({"scaling": _scaling_cached()}))
+        # retry just the sandwiches (e.g. hunting a quiet host window after
+        # a rejected attempt) without re-paying the ~10 min main section;
+        # accepted results land in the caches for the next full bench run
+        print(
+            json.dumps(
+                {
+                    "scaling": _scaling_cached(),
+                    "pr_scaling": _pr_scaling_cached(),
+                }
+            )
+        )
+        return
+    if os.environ.get("SPARK_GRAFT_PR_SCALING_ONLY") == "1":
+        print(json.dumps({"pr_scaling": _pr_scaling_cached()}))
         return
 
     spark = _spark(CPUS)
@@ -519,6 +532,11 @@ def main():
         # killed mid-sandwich.
         print(json.dumps(out), flush=True)
         out["scaling"] = _compact_scaling(_scaling_cached())
+        # compute-dominated PageRank sandwich (round 5): the measured
+        # >=0.8 evidence for the north rule's second workload; the
+        # curvature block's auxiliary pagerank numbers (12 s legs, 50%
+        # serial floor) remain in its detail file for the Amdahl record
+        out["pr_scaling"] = _compact_pr(_pr_scaling_cached())
 
     line = json.dumps(out)
     if len(line) > 1900:
@@ -808,6 +826,284 @@ def _scaling_sandwich() -> dict:
         # box's frequency ceiling on the pair, independent of Spark and
         # of memory bandwidth.
         "alu_mops_per_worker": _alu_rates([1, lo, hi]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PageRank scaling sandwich (round 5)
+#
+# The curvature sandwich's auxiliary pagerank reading (mult=1, 10 rounds,
+# ~12 s legs) sits on a ~50% serial floor — plan compile + per-round stage
+# barriers — which caps its 1->4 quotient at 0.40 for ANY engine (BENCH.md
+# round-4 Amdahl analysis). The floor is FIXED (~6 s) while compute scales
+# with edges (probe: F 6.5/6.0/0.7 s at 0.64/2.6/19.2 M edges), so the
+# honest measurement is a compute-dominated size: at mult=120 (19.2 M
+# directed edges, ~115 s narrow legs) the serial share is <1% and the raw
+# quotient measures the engine. Same sandwich protocol and gates as the
+# curvature measurement, separate cache keyed by its own fingerprint.
+# ---------------------------------------------------------------------------
+
+_PR_PROTO = "r5-pr-sandwich-1"
+_PR_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_pr_scaling_cache.json"
+)
+
+
+def _pr_fingerprint() -> str:
+    import hashlib
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256(_PR_PROTO.encode())
+    for rel in [
+        "graphriccicurvature_spark/operators/pagerank.py",
+        "graphriccicurvature_spark/sources/edges.py",
+        "graphriccicurvature_spark/session.py",
+    ]:
+        try:
+            with open(os.path.join(base, rel), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(b"missing:" + rel.encode())
+    return h.hexdigest()[:16]
+
+
+def _steal_windowed_passes(fn, n_passes: int) -> list[dict]:
+    """Run ``fn`` n_passes times, each pass wrapped in its own steal
+    window (the r4-sandwich-4 per-pass discipline: the chosen fastest
+    pass carries the steal evidence for exactly the window that produced
+    its time)."""
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    passes = []
+    for _ in range(n_passes):
+        s0, j0, b0 = _read_steal()
+        p0 = _read_steal_percpu()
+        wall0 = time.time()
+        fn()
+        wall = time.time() - wall0
+        s1, j1, b1 = _read_steal()
+        p1 = _read_steal_percpu()
+        act_busy = act_steal = 0.0
+        n_active = 0
+        for (cb0, cs0), (cb1, cs1) in zip(p0, p1):
+            db, ds = cb1 - cb0, cs1 - cs0
+            if db > 0.05 * wall * hz:
+                act_busy += db
+                act_steal += ds
+                n_active += 1
+        passes.append({
+            "t": wall,
+            "steal_frac": (s1 - s0) / max(j1 - j0, 1.0),
+            "steal_share": (s1 - s0) / max((b1 - b0) + (s1 - s0), 1.0),
+            "steal_share_active": act_steal / max(act_busy + act_steal, 1.0),
+            "n_active": n_active,
+        })
+    return passes
+
+
+def _pr_scaling_child(cpus: int) -> dict:
+    """One PageRank leg: build the mult=120 dense graph, warm up the
+    join/agg codegen with 2 rounds, then best-of-N measured 10-round runs
+    with per-pass steal windows. Shuffle partitions pinned across legs
+    (same rationale as the curvature sandwich: one job, two cluster
+    sizes)."""
+    pinned = 4 * int(os.environ.get("SPARK_GRAFT_SCALING_CORES", "1,4").split(",")[1])
+    spark = _spark(cpus)
+    if int(os.environ.get("SPARK_GRAFT_SCALING_PIN", "1")):
+        spark.conf.set("spark.sql.shuffle.partitions", str(pinned))
+    from graphriccicurvature_spark.operators.pagerank import pagerank
+    from graphriccicurvature_spark.sources.edges import dense_edges_from_documents
+
+    mult = int(os.environ.get("SPARK_GRAFT_PR_MULT", "120"))
+    iters = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "10"))
+    dense = dense_edges_from_documents(
+        spark, SF_DIR, out_degree=32, multiply=mult
+    ).cache()
+    n_edges = dense.count()
+    pagerank(dense, num_iterations=2, directed=True).count()  # JIT warm-up
+    n_passes = int(os.environ.get("SPARK_GRAFT_SCALING_CHILD_TRIALS", "1"))
+    passes = _steal_windowed_passes(
+        lambda: pagerank(dense, num_iterations=iters, directed=True).count(),
+        n_passes,
+    )
+    spark.stop()
+    best = min(passes, key=lambda r: r["t"])
+    return {
+        "pagerank_secs": best["t"],
+        "n_edges": n_edges,
+        "iters": iters,
+        "steal_frac": round(best["steal_frac"], 4),
+        "steal_share": round(best["steal_share"], 4),
+        "steal_share_active": round(best["steal_share_active"], 4),
+        "n_active_cpus": best["n_active"],
+        "pass_secs": [round(p["t"], 3) for p in passes],
+        "pass_steal_share_active": [
+            round(p["steal_share_active"], 4) for p in passes
+        ],
+    }
+
+
+def _run_pr_child(cpus: int, trials: int = 1) -> dict:
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--pr-scaling-child", str(cpus)],
+        capture_output=True,
+        text=True,
+        env={
+            **os.environ,
+            "SPARK_GRAFT_SCALING": "0",
+            "SPARK_GRAFT_SCALING_CHILD_TRIALS": str(trials),
+            "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        },
+    )
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def _pr_scaling_sandwich() -> dict:
+    """North-rule PageRank scaling evidence at a compute-dominated size:
+    narrow -> wide -> narrow in separate JVMs, same acceptance gates as
+    the curvature sandwich (narrow agreement <=3%, wide pass spread <=8%,
+    steal <=3% of box and <=5% of demanded CPU on active cpus)."""
+    lo, hi = (
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "1,4").split(",")
+    )
+    attempts = []
+    t_start = time.time()
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "2400"))
+    for attempt in range(int(os.environ.get("SPARK_GRAFT_SCALING_ATTEMPTS", "2"))):
+        if attempt > 0 and time.time() - t_start > budget:
+            break
+        narrow_trials = int(os.environ.get("SPARK_GRAFT_SCALING_NARROW_TRIALS", "2"))
+        wide_trials = int(os.environ.get("SPARK_GRAFT_SCALING_WIDE_TRIALS", "2"))
+        lo1 = _run_pr_child(lo, trials=narrow_trials)
+        hig = _run_pr_child(hi, trials=wide_trials)
+        lo2 = _run_pr_child(lo, trials=narrow_trials)
+        agree = abs(lo1["pagerank_secs"] - lo2["pagerank_secs"]) / min(
+            lo1["pagerank_secs"], lo2["pagerank_secs"]
+        )
+        wp = hig.get("pass_secs") or [hig["pagerank_secs"]]
+        wide_spread = (max(wp) - min(wp)) / min(wp) if len(wp) > 1 else 0.0
+        max_steal = max(
+            lo1.get("steal_frac", 0.0),
+            hig.get("steal_frac", 0.0),
+            lo2.get("steal_frac", 0.0),
+        )
+        max_share = max(
+            lo1.get("steal_share_active", 0.0),
+            hig.get("steal_share_active", 0.0),
+            lo2.get("steal_share_active", 0.0),
+        )
+        rec = {
+            "narrow_secs": [
+                round(lo1["pagerank_secs"], 3),
+                round(lo2["pagerank_secs"], 3),
+            ],
+            "wide_secs": round(hig["pagerank_secs"], 3),
+            "narrow_disagreement": round(agree, 4),
+            "wide_pass_spread": round(wide_spread, 4),
+            "steal_share_active_per_leg": [
+                lo1.get("steal_share_active"),
+                hig.get("steal_share_active"),
+                lo2.get("steal_share_active"),
+            ],
+            "active_cpus_per_leg": [
+                lo1.get("n_active_cpus"),
+                hig.get("n_active_cpus"),
+                lo2.get("n_active_cpus"),
+            ],
+            "pass_secs_per_leg": [
+                lo1.get("pass_secs"), hig.get("pass_secs"), lo2.get("pass_secs")
+            ],
+            "accepted": agree <= 0.03
+            and wide_spread
+            <= float(os.environ.get("SPARK_GRAFT_WIDE_SPREAD_MAX", "0.08"))
+            and max_steal <= 0.03
+            and max_share
+            <= float(os.environ.get("SPARK_GRAFT_STEAL_SHARE_MAX", "0.05")),
+            "n_edges": hig["n_edges"],
+            "iters": hig["iters"],
+        }
+        attempts.append(rec)
+        print(f"pr scaling attempt {attempt}: {json.dumps(rec)}", file=sys.stderr)
+        if rec["accepted"]:
+            break
+    best = attempts[-1]
+    min_narrow = min(best["narrow_secs"])
+    return {
+        "protocol": _PR_PROTO
+        + ": same sandwich/gates as the curvature protocol, workload = "
+        "10 PageRank power-iteration rounds on the mult=120 dense graph "
+        "(19.2M directed edges) — sized so the fixed per-run cost "
+        "(plan compile + per-round stage barriers, ~6 s measured at "
+        "small sizes, <1% here) cannot cap the quotient; separate JVM "
+        "per leg, 2-round JIT warm-up, best-of-N passes with per-pass "
+        "steal windows; efficiency = (min_narrow / wide) / (hi/lo), raw",
+        "cores": [lo, hi],
+        "n_edges": best["n_edges"],
+        "iters": best["iters"],
+        "pagerank_efficiency": round(
+            (min_narrow / best["wide_secs"]) / (hi / lo), 3
+        ),
+        "accepted": best["accepted"],
+        "attempts": attempts,
+    }
+
+
+def _pr_scaling_cached() -> dict:
+    """Accepted PageRank sandwiches persist like the curvature ones —
+    the result is a property of the code, keyed by its own fingerprint;
+    rejected results are never cached. SPARK_GRAFT_PR_SCALING_FRESH=1
+    forces a re-measure."""
+    fp = _pr_fingerprint()
+    if os.environ.get("SPARK_GRAFT_PR_SCALING_FRESH") != "1":
+        try:
+            with open(_PR_CACHE_PATH) as f:
+                c = json.load(f)
+            if c.get("engine_fingerprint") == fp and c["scaling"].get("accepted"):
+                c["scaling"]["cached"] = True
+                c["scaling"]["measured_at"] = c.get("measured_at")
+                return c["scaling"]
+        except (OSError, ValueError, KeyError):
+            pass
+    block = _pr_scaling_sandwich()
+    if block.get("accepted"):
+        tmp = _PR_CACHE_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "engine_fingerprint": fp,
+                    "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                    "scaling": block,
+                },
+                f,
+                indent=1,
+            )
+        os.replace(tmp, _PR_CACHE_PATH)
+    return block
+
+
+def _compact_pr(block: dict) -> dict:
+    """Compact stdout summary; full block -> BENCH_pr_scaling_detail.json."""
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_pr_scaling_detail.json",
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(block, f, indent=1)
+    except OSError:
+        detail_path = "(write failed)"
+    att = (block.get("attempts") or [{}])[-1]
+    return {
+        "protocol": _PR_PROTO,
+        "detail": os.path.basename(detail_path),
+        "cores": block.get("cores"),
+        "n_edges": block.get("n_edges"),
+        "pagerank_efficiency": block.get("pagerank_efficiency"),
+        "accepted": block.get("accepted"),
+        "narrow_secs": att.get("narrow_secs"),
+        "wide_secs": att.get("wide_secs"),
+        "cached": block.get("cached", False),
+        "measured_at": block.get("measured_at"),
     }
 
 

@@ -406,6 +406,63 @@ def run_op(spark: SparkSession, args) -> DataFrame:
             sys.exit("url-normalize needs --pages (url,... parquet)")
         pages = spark.read.parquet(args.pages)
         return pages.select("url", normalize_url(FF.col("url")).alias("url_norm"))
+    if op == "condensation":
+        from .operators.webgraph import condensation_graph
+
+        return condensation_graph(_load_edges(spark, args))
+    if op == "topo-levels":
+        from .operators.webgraph import condensation_graph, topological_levels
+        from pyspark.sql import functions as FF
+
+        cond = condensation_graph(_load_edges(spark, args)).select(
+            FF.col("scc_src").alias("src"), FF.col("scc_dst").alias("dst")
+        )
+        return topological_levels(cond)
+    if op == "eigenvector":
+        from .operators.webgraph import eigenvector_centrality_bounded
+
+        return eigenvector_centrality_bounded(
+            _load_edges(spark, args),
+            num_iterations=args.iterations,
+            directed=args.directed,
+        )
+    if op == "betweenness":
+        from .operators.webgraph import betweenness_from_sources
+
+        if not args.seeds:
+            sys.exit("betweenness needs --seeds (comma-separated pivot ids)")
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in args.seeds.split(",")], "node long"
+        )
+        return betweenness_from_sources(
+            _load_edges(spark, args), seeds, directed=args.directed
+        )
+    if op == "tfidf":
+        from .operators.textstats import tfidf_top_terms
+
+        return tfidf_top_terms(_load_docs(spark, args), k=args.k)
+    if op == "pii-redact":
+        from .operators.textstats import pii_redact
+
+        return pii_redact(_load_docs(spark, args))
+    if op == "pack":
+        from .operators.filtering import pack_documents
+
+        return pack_documents(_load_docs(spark, args), budget=args.budget)
+    if op == "anchor-stats":
+        from .sources.extract import anchor_text_stats
+
+        if not args.pages:
+            sys.exit("anchor-stats needs --pages (url,html parquet)")
+        return anchor_text_stats(spark.read.parquet(args.pages))
+    if op == "sessions":
+        from .streaming.events import session_event_counts_batch
+
+        if not args.events:
+            sys.exit("sessions needs --events (event_id,ts,user_id,value parquet)")
+        return session_event_counts_batch(
+            spark.read.parquet(args.events), gap=args.gap
+        )
     sys.exit(f"unknown op {op!r}")
 
 
@@ -416,7 +473,9 @@ OPS = (
     "adamic-adar clustering assortativity reciprocity avg-neighbor-degree "
     "k-truss bfs neighborhood hyperball salsa sssp harmonic "
     "hyperball-harmonic distance-distribution effective-diameter "
-    "hyperball-dd scc bowtie katz host-graph url-normalize random-walks"
+    "hyperball-dd scc bowtie katz host-graph url-normalize random-walks "
+    "condensation topo-levels eigenvector betweenness tfidf pii-redact "
+    "pack anchor-stats sessions"
 ).split()
 
 
@@ -454,7 +513,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--delta", type=float, default=1e-4)
     p.add_argument("--checkpoint-dir", help="flow resume/checkpoint dir")
     p.add_argument("--top-n", type=int, default=100)
-    p.add_argument("--k", type=int, default=3, help="k-core / k-truss threshold")
+    p.add_argument("--k", type=int, default=3,
+                   help="k-core / k-truss threshold; tfidf top-k terms")
+    p.add_argument("--budget", type=int, default=2048,
+                   help="pack: token budget per bin")
+    p.add_argument("--gap", default="30 minutes",
+                   help="sessions: inactivity gap")
+    p.add_argument("--events", help="sessions: events parquet path")
     p.add_argument("--radius", type=int, default=2,
                    help="neighborhood/hyperball ball radius (hops)")
     p.add_argument("--seeds", help="ppr: comma-separated seed node ids")

@@ -461,3 +461,54 @@ def pii_redact(
             "text_redacted"
         ),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document:
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` (sklearn's smoothed
+    idf), ties broken lexicographically. Returns
+    ``(id, term, tf, score, rank)``.
+
+    The keyword-extraction pass of a curation pipeline (near-dup
+    explanations, topic sampling sheets). Plan shape: one explode +
+    (doc, term) count, a term-keyed df aggregation joined back (term
+    vocabulary << corpus, and only distinct (doc,term) pairs flow into
+    it), the N scalar via a broadcast crossJoin, and a per-doc window
+    top-k whose sort is bounded by the doc's distinct-term count. All
+    codegen; ln() replays exactly in DuckDB.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "score", "rank")
+    )

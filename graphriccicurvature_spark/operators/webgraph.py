@@ -584,3 +584,112 @@ def partition_modularity(edges: DataFrame, partition: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("modularity"),
     )
+
+
+def betweenness_from_sources(
+    edges: DataFrame,
+    sources: DataFrame,
+    directed: bool = False,
+) -> DataFrame:
+    """Brandes betweenness centrality accumulated from a source set:
+    ``bc(v) = sum_{s in S, s != v} delta_s(v)`` with the standard
+    pair-dependency ``delta_s(v) = sum_{t} sigma_st(v) / sigma_st``
+    (endpoints excluded, no normalization). With S = all nodes this is
+    exact betweenness; with a fixed sample of sources it is the standard
+    pivot estimator (Brandes & Pich 2007) — the only form that is
+    tractable at web scale, where exact betweenness is O(|V||E|).
+    Returns ``(node, betweenness)`` for every node of the graph.
+
+    Distributed Brandes, level-synchronous in both directions:
+
+    * **Forward** (shortest-path counting): frontier rows
+      ``(s, node, sigma)`` advance one hop per round — one shuffle join
+      keyed on the current node + one (s, node) sum-aggregation +
+      one anti-join against settled pairs. All |S| sources advance in
+      the SAME round (state is keyed by pair, so the fan-out is |S|
+      frontiers wide, not |S| sequential BFS runs).
+    * **Backward** (dependency accumulation): for levels d = depth..1,
+      join level-d pairs with their level-(d-1) predecessors along arcs:
+      ``contrib = sigma(s,u)/sigma(s,v) * (1 + delta(s,v))`` — one join
+      + one aggregation per level, delta folded in with a left join.
+
+    Per-round cost is the PageRank shuffle shape times |S|; rounds =
+    2 x BFS depth (small on web graphs). The DuckDB oracle replays the
+    same quantity from the closed form
+    ``sum_{s,t} [d(s,v)+d(v,t)=d(s,t)] * sigma(s,v)*sigma(v,t)/sigma(s,t)``
+    (walk-count CTEs), which equals Brandes' recursion exactly.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e = e.distinct()
+    nodes = _nodes_of(e)
+    seeds = sources.select(F.col("node").alias("s")).distinct().join(
+        nodes.select(F.col("node").alias("s")), "s", "left_semi"
+    )
+    # ---- forward sweep: settled (s, node, d, sigma) -------------------
+    frontier = truncate_plan(
+        seeds.select(
+            "s", F.col("s").alias("node"), F.lit(0).alias("d"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    settled = frontier
+    dmax = 0
+    while True:
+        hop = (
+            frontier.join(e, frontier.node == e.src)
+            .groupBy("s", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = truncate_plan(
+            hop.join(settled.select("s", "node"), ["s", "node"], "left_anti")
+            .select("s", "node", F.lit(dmax + 1).alias("d"), "sigma"),
+            eager=False,
+        )
+        if nxt.count() == 0:
+            break
+        dmax += 1
+        settled = truncate_plan(settled.union(nxt), eager=False)
+        frontier = nxt
+    settled = truncate_plan(settled)
+    # ---- backward sweep: delta per (s, node), levels dmax..1 ----------
+    delta = settled.select("s", "node", F.lit(0.0).alias("delta"))
+    for lvl in range(dmax, 0, -1):
+        at = settled.filter(F.col("d") == lvl).join(
+            delta.select("s", "node", "delta"), ["s", "node"]
+        )
+        preds = settled.filter(F.col("d") == lvl - 1).select(
+            "s", F.col("node").alias("pnode"), F.col("sigma").alias("psigma")
+        )
+        contrib = (
+            at.join(e, at.node == e.dst)
+            .join(
+                preds,
+                (F.col("src") == F.col("pnode")) & (at.s == preds.s),
+            )
+            .select(
+                at.s.alias("s"),
+                F.col("pnode").alias("node"),
+                (
+                    F.col("psigma") / F.col("sigma") * (1.0 + F.col("delta"))
+                ).alias("c"),
+            )
+            .groupBy("s", "node")
+            .agg(F.sum("c").alias("c"))
+        )
+        delta = truncate_plan(
+            delta.join(contrib, ["s", "node"], "left").select(
+                "s", "node",
+                (F.col("delta") + F.coalesce("c", F.lit(0.0))).alias("delta"),
+            ),
+            eager=False,
+        )
+    bc = (
+        delta.filter(F.col("s") != F.col("node"))
+        .groupBy("node")
+        .agg(F.sum("delta").alias("betweenness"))
+    )
+    return nodes.join(bc, "node", "left").select(
+        "node", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )

@@ -158,3 +158,62 @@ def run_stream_to_memory(stream_df, name: str):
     )
     q.awaitTermination()
     return q
+
+
+def session_event_counts_batch(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session aggregation with a ``gap`` inactivity timeout —
+    ``F.session_window`` in batch mode (batch twin of the streaming
+    query; identical expressions). Returns
+    ``(user_id, session_start, session_end, n_events, sum_value)`` with
+    ``session_end = last event + gap`` (Spark session-window semantics;
+    the DuckDB oracle reproduces it gaps-and-islands style with
+    ``lag()`` + a cumulative break count).
+
+    Sessionization is the canonical stateful-stream operator a crawl/
+    clickstream pipeline needs (visit stitching, crawl-session cost
+    attribution). The groupBy is keyed (user, session_window): Spark
+    sorts within the user partition and merges overlapping windows —
+    shuffle keyed by user, per-partition sort bounded by that user's
+    events, the same skew profile as host_top_pages.
+    """
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), gap).alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_event_counts_stream(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Streaming sessionization: file source + watermark; session windows
+    close when the watermark passes session_end, giving exactly-once
+    per-session output in append mode."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -174,3 +174,59 @@ def test_cli_sssp_harmonic_salsa(spark, tmp_path):
     dfa = spark.read.parquet(str(out_a))
     assert set(dfa.columns) == {"node", "salsa_authority", "salsa_hub"}
     assert abs(dfa.groupBy().sum("salsa_authority").first()[0] - 1.0) < 1e-6
+
+
+def test_cli_round5b_ops(spark, tmp_path):
+    out_c = tmp_path / "cond"
+    main(["condensation", "--docs", SF, "--output", str(out_c)])
+    dfc = spark.read.parquet(str(out_c))
+    assert set(dfc.columns) == {"scc_src", "scc_dst", "n_arcs"}
+    assert dfc.filter("scc_src = scc_dst").count() == 0
+
+    out_t = tmp_path / "topo"
+    main(["topo-levels", "--docs", SF, "--output", str(out_t)])
+    dft = spark.read.parquet(str(out_t))
+    assert set(dft.columns) == {"node", "level"}
+    assert dft.filter("level = 0").count() >= 1
+
+    out_e = tmp_path / "eig"
+    main(["eigenvector", "--docs", SF, "--output", str(out_e),
+          "--iterations", "2", "--directed"])
+    dfe = spark.read.parquet(str(out_e))
+    assert set(dfe.columns) == {"node", "score"}
+    assert abs(dfe.groupBy().sum("score").first()[0] - 1.0) < 1e-6
+
+    out_b = tmp_path / "bc"
+    main(["betweenness", "--docs", SF, "--output", str(out_b),
+          "--seeds", "1,2"])
+    dfb = spark.read.parquet(str(out_b))
+    assert set(dfb.columns) == {"node", "betweenness"}
+    assert dfb.filter("betweenness < 0").count() == 0
+
+
+def test_cli_round5b_text_ops(spark, tmp_path):
+    out_t = tmp_path / "tfidf"
+    main(["tfidf", "--docs", SF, "--output", str(out_t), "--k", "2"])
+    dft = spark.read.parquet(str(out_t))
+    assert set(dft.columns) == {"id", "term", "tf", "score", "rank"}
+    assert dft.filter("rank > 2").count() == 0
+
+    out_p = tmp_path / "pii"
+    main(["pii-redact", "--docs", SF, "--output", str(out_p)])
+    dfp = spark.read.parquet(str(out_p))
+    assert set(dfp.columns) == {"id", "n_emails", "n_phones", "text_redacted"}
+
+    out_k = tmp_path / "pack"
+    main(["pack", "--docs", SF, "--output", str(out_k), "--budget", "64"])
+    dfk = spark.read.parquet(str(out_k))
+    assert set(dfk.columns) == {"id", "bucket", "n_tokens", "offset", "bin_id"}
+    assert dfk.filter("bin_id < 0").count() == 0
+
+    out_s = tmp_path / "sess"
+    main(["sessions", "--events", SF + "/events.parquet",
+          "--output", str(out_s), "--gap", "30 minutes"])
+    dfs = spark.read.parquet(str(out_s))
+    assert set(dfs.columns) == {
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    }
+    assert dfs.filter("session_end <= session_start").count() == 0
