@@ -3390,6 +3390,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE sv.s IN (1, 2, 3, 5)
               AND st.d = sv.d + vt.d
               AND sv.v <> sv.s AND vt.v <> sv.v AND vt.v <> sv.s
+            GROUP BY sv.v
         )
         SELECT n.node, round(coalesce(bc.b, 0.0), 6) AS betweenness
         FROM gnodes n LEFT JOIN bc ON bc.node = n.node
