@@ -1262,7 +1262,9 @@ def _q_events_sessions(spark, sf):
     """Per-user sessionization (30-min inactivity gap) via
     ``F.session_window`` in batch mode — the oracle replays Spark's
     session semantics gaps-and-islands style (break when the gap to the
-    previous event is >= 30 min; session_end = last event + gap)."""
+    previous event is STRICTLY > 30 min — Spark merges an event landing
+    exactly at prev_end into the session; session_end = last event +
+    gap)."""
     from graphriccicurvature_spark.streaming.events import (
         session_event_counts_batch,
     )
@@ -3307,7 +3309,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                             IS NULL
                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            >= INTERVAL '30 minutes'
+                            > INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS brk
             FROM events
         ),

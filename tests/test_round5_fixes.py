@@ -68,7 +68,17 @@ def test_cache_hygiene_no_leaked_storage(spark):
     # to the *returned* result lineage; operator-internal caches must be gone.
     # Allow the returned results' own checkpoint RDDs (bounded per call),
     # but a leak of nodes/base_nodes/dangling/auths/hubs/e would add >=7.
+    # unpersist() is async (blocking=False): under CPU contention the
+    # executor-side release can lag the driver call, so poll briefly
+    # before declaring a leak.
+    import time
+
     leaked = n_cached() - base
+    for _ in range(20):
+        if leaked <= 8:
+            break
+        time.sleep(0.5)
+        leaked = n_cached() - base
     assert leaked <= 8, f"persistent RDDs grew by {leaked}"
 
 

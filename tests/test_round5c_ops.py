@@ -41,11 +41,13 @@ def _ev(spark, rows):
 SESSION_ROWS = [
     # user 1: events at 0, 10, 25 min (one session; gaps < 30), then 90 (new)
     (0, 1, 1.0), (10, 1, 2.0), (25, 1, 3.0), (90, 1, 4.0),
-    # user 2: single event
-    (5, 2, 10.0),
-    # user 2: exactly 30-min gap -> NEW session (Spark merges only if
-    # next.start < prev.end = prev + gap)
-    (35, 2, 20.0),
+    # user 2: exactly-30-min gap MERGES — Spark's session_window treats
+    # an event landing exactly at prev_end (= prev_ts + gap) as part of
+    # the session (verified on this build; the DuckDB oracle breaks only
+    # on gap STRICTLY > 30 min to match)
+    (5, 2, 10.0), (35, 2, 20.0),
+    # user 3: 31-min gap -> new session (strictly past the boundary)
+    (0, 3, 5.0), (31, 3, 7.0),
 ]
 
 
@@ -54,14 +56,17 @@ def test_session_batch_hand_fixture(spark):
         (r.user_id, r.session_start.minute + r.session_start.hour * 60): r
         for r in session_event_counts_batch(_ev(spark, SESSION_ROWS), "30 minutes").collect()
     }
-    assert len(got) == 4
+    assert len(got) == 5
     s1 = got[(1, 0)]
     assert s1.n_events == 3 and s1.sum_value == pytest.approx(6.0)
     assert s1.session_end == dt.datetime(2024, 1, 1, 0, 55)  # last(25) + 30
     s1b = got[(1, 90)]
     assert s1b.n_events == 1 and s1b.sum_value == pytest.approx(4.0)
-    assert got[(2, 5)].n_events == 1
-    assert got[(2, 35)].n_events == 1  # 30-min gap does NOT merge
+    s2 = got[(2, 5)]  # exact-boundary event merged in
+    assert s2.n_events == 2 and s2.sum_value == pytest.approx(30.0)
+    assert s2.session_end == dt.datetime(2024, 1, 1, 1, 5)  # last(35) + 30
+    assert got[(3, 0)].n_events == 1
+    assert got[(3, 31)].n_events == 1  # 31-min gap does NOT merge
 
 
 def test_session_stream_matches_batch(tmp_path, spark):
