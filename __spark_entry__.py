@@ -104,6 +104,18 @@ def _q_triangles_per_node(spark, sf):
     return triangle_counts(edges_from_documents(spark, sf)).select("node", "triangles")
 
 
+def _q_edge_embeddedness(spark, sf):
+    """Per-edge common-neighbor count + neighborhood-Jaccard overlap
+    (tie strength / bridge detection) via the degree-ordered triangle
+    enumeration."""
+    from graphriccicurvature_spark.operators.triangles import edge_embeddedness
+
+    r = edge_embeddedness(edges_from_documents(spark, sf))
+    return r.select(
+        "src", "dst", "common_neighbors", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def _synth_weight(col_src, col_dst):
     return 1.0 + ((col_src * 7 + col_dst * 13) % 10) / 10.0
 
@@ -1326,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree": _q_degree,
         "triangle_count": _q_triangle_count,
         "triangles_per_node": _q_triangles_per_node,
+        "edge_embeddedness": _q_edge_embeddedness,
         "weight_cut": _q_weight_cut,
         "corpus_quantiles": _q_corpus_quantiles,
         "forman_aug": _q_forman_aug,
@@ -1496,6 +1509,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, count(*) AS triangles FROM (
             SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
         ) GROUP BY node
+    """
+    sql["edge_embeddedness"] = f"""
+        WITH {_E}, {_UND},
+        cn AS (
+            SELECT u.src, u.dst, count(*) AS c
+            FROM und u
+            JOIN sym s1 ON s1.src = u.src
+            JOIN sym s2 ON s2.src = u.dst AND s2.dst = s1.dst
+            WHERE s1.dst <> u.dst
+            GROUP BY u.src, u.dst
+        )
+        SELECT u.src, u.dst,
+               CAST(COALESCE(cn.c, 0) AS BIGINT) AS common_neighbors,
+               round(CASE WHEN d1.degree + d2.degree - 2 - COALESCE(cn.c, 0) > 0
+                          THEN CAST(COALESCE(cn.c, 0) AS DOUBLE)
+                               / (d1.degree + d2.degree - 2 - COALESCE(cn.c, 0))
+                          ELSE 0.0 END, 6) AS jaccard
+        FROM und u
+        LEFT JOIN cn ON cn.src = u.src AND cn.dst = u.dst
+        JOIN deg d1 ON d1.node = u.src
+        JOIN deg d2 ON d2.node = u.dst
     """
     sql["weight_cut"] = f"""
         WITH {_E}

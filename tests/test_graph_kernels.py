@@ -9,6 +9,7 @@ from graphriccicurvature_spark.operators.degrees import degree_table
 from graphriccicurvature_spark.operators.labelprop import label_propagation
 from graphriccicurvature_spark.operators.pagerank import pagerank
 from graphriccicurvature_spark.operators.triangles import (
+    edge_embeddedness,
     triangle_count_global,
     triangle_counts,
 )
@@ -80,6 +81,46 @@ def test_triangles_karate(spark):
     want = nx.triangles(G)
     assert all(got.get(n, 0) == want[n] for n in G.nodes())
     assert triangle_count_global(edges).collect()[0][0] == sum(want.values()) // 3
+
+
+def _embeddedness_oracle(G):
+    want = {}
+    for u, v in G.edges():
+        u, v = min(u, v), max(u, v)
+        cn = len(set(G[u]) & set(G[v]) - {u, v})
+        union = G.degree(u) + G.degree(v) - 2 - cn
+        want[(u, v)] = (cn, cn / union if union > 0 else 0.0)
+    return want
+
+
+def test_edge_embeddedness_karate(spark):
+    G = _unweighted_karate()
+    got = {
+        (r.src, r.dst): (r.common_neighbors, r.jaccard)
+        for r in edge_embeddedness(make_edges(spark, list(G.edges()))).collect()
+    }
+    want = _embeddedness_oracle(G)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1]), k
+
+
+def test_edge_embeddedness_bridge_and_degenerate(spark):
+    # triangle 1-2-3 joined by bridge 3-4 to the pendant edge 4-5;
+    # plus the isolated edge 10-11 (two degree-1 endpoints -> jaccard 0)
+    G = nx.Graph([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (10, 11)])
+    got = {
+        (r.src, r.dst): (r.common_neighbors, r.jaccard)
+        for r in edge_embeddedness(make_edges(spark, list(G.edges()))).collect()
+    }
+    want = _embeddedness_oracle(G)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k][0] == v[0] and got[k][1] == pytest.approx(v[1]), k
+    assert got[(3, 4)] == (0, 0.0)  # bridge
+    assert got[(10, 11)] == (0, 0.0)  # degenerate denominator
+    assert got[(1, 2)][0] == 1 and got[(1, 2)][1] == pytest.approx(1.0)
 
 
 def test_lpa_min_matches_oracle(spark):
