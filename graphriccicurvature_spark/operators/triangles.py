@@ -74,11 +74,19 @@ def edge_embeddedness(edges: DataFrame) -> DataFrame:
     """
     und = canonicalize(edges)
     tri = triangles(edges)
-    sides = (
-        tri.select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
-        .union(tri.select(F.least("a", "c").alias("src"), F.greatest("a", "c").alias("dst")))
-        .union(tri.select(F.least("b", "c").alias("src"), F.greatest("b", "c").alias("dst")))
-    )
+    # one explode, not a 3-way union: the union form repeats the whole
+    # triangle-enumeration subplan three times (3x the wedge join at any
+    # scale); exploding each triangle into its three canonical sides
+    # references it once
+    sides = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")),
+                F.struct(F.least("a", "c").alias("src"), F.greatest("a", "c").alias("dst")),
+                F.struct(F.least("b", "c").alias("src"), F.greatest("b", "c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     cn = sides.groupBy("src", "dst").agg(F.count("*").alias("cn"))
     deg = degree_table(und).select("node", "degree")
     out = (
