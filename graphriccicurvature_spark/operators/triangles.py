@@ -44,12 +44,14 @@ def triangles(edges: DataFrame) -> DataFrame:
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
-    """Per-node triangle counts ``(node, triangles)`` (0 rows omitted)."""
+    """Per-node triangle counts ``(node, triangles)`` (0 rows omitted).
+
+    Corners come from one explode of each triangle row — the 3-way
+    union form re-ran the wedge-join subplan three times.
+    """
     tri = triangles(edges)
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .union(tri.select(F.col("b").alias("node")))
-        .union(tri.select(F.col("c").alias("node")))
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
 
