@@ -177,6 +177,10 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.triangles import triangle_counts
 
         return triangle_counts(_load_edges(spark, args))
+    if op == "embeddedness":
+        from .operators.triangles import edge_embeddedness
+
+        return edge_embeddedness(_load_edges(spark, args))
     if op == "exact-dedup":
         from .operators.dedup import exact_dedup
 
@@ -475,7 +479,7 @@ OPS = (
     "hyperball-harmonic distance-distribution effective-diameter "
     "hyperball-dd scc bowtie katz host-graph url-normalize random-walks "
     "condensation topo-levels eigenvector betweenness tfidf pii-redact "
-    "pack anchor-stats sessions"
+    "pack anchor-stats sessions embeddedness"
 ).split()
 
 

@@ -87,6 +87,15 @@ def test_cli_hits_and_kcore_and_cocitation(spark, tmp_path):
     assert dfc.count() > 0
 
 
+def test_cli_embeddedness(spark, tmp_path):
+    out = tmp_path / "emb"
+    main(["embeddedness", "--docs", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"src", "dst", "common_neighbors", "jaccard"}
+    assert df.count() > 0
+    assert df.filter("jaccard < 0 OR jaccard > 1").count() == 0
+
+
 def test_cli_ppr_adamic_clustering(spark, tmp_path):
     out_p = tmp_path / "ppr"
     main(["ppr", "--docs", SF, "--output", str(out_p), "--iterations", "3",
