@@ -53,3 +53,18 @@ def test_katz_round_is_join_plus_agg_no_python(spark):
     )
     p = _plan(katz_centrality_bounded(e, num_iterations=1))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_edge_embeddedness_single_enumeration_no_python(spark):
+    from graphriccicurvature_spark.operators.triangles import edge_embeddedness
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    p = _plan(edge_embeddedness(e))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # the triangle enumeration must appear once (explode of sides), not
+    # three times (the union form): one Generate node, and the cached
+    # oriented-edge scan keeps the wedge join single-pass
+    assert p.count("Generate") == 1, p
