@@ -530,6 +530,17 @@ def _q_corpus_dup(spark, sf):
     )
 
 
+def _q_contamination(spark, sf):
+    """Train/val/test contamination gate: duplicate texts (40-char-prefix
+    canonicalization) spanning md5-split boundaries — the eval-hygiene
+    check run before trusting held-out metrics."""
+    from graphriccicurvature_spark.operators.textstats import contamination_check
+
+    return contamination_check(_docs(spark, sf), prefix=40).select(
+        "group_hash", "n_docs", "n_splits", "splits", "min_doc_id"
+    )
+
+
 def _q_hash_split(spark, sf):
     from graphriccicurvature_spark.operators.textstats import hash_split
 
@@ -1371,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "corpus_dup_passages": _q_corpus_dup,
         "hash_split": _q_hash_split,
+        "contamination_40": _q_contamination,
         "host_stats": _q_host_stats,
         "token_freq_top100": _q_token_freq,
         "pages_text": _q_pages_text,
@@ -1848,6 +1860,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
             FROM documents
         ) GROUP BY split
+    """
+    sql["contamination_40"] = """
+        WITH d AS (
+            SELECT md5(substring(text, 1, 40)) AS group_hash,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                        ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                        ELSE 'test' END AS split,
+                   doc_id
+            FROM documents
+        )
+        SELECT group_hash,
+               count(*) AS n_docs,
+               count(DISTINCT split) AS n_splits,
+               string_agg(DISTINCT split, ',' ORDER BY split) AS splits,
+               min(doc_id) AS min_doc_id
+        FROM d GROUP BY group_hash
+        HAVING count(DISTINCT split) > 1
     """
     sql["ppm_decode"] = """
         WITH px AS (

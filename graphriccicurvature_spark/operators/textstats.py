@@ -285,6 +285,59 @@ def corpus_dup_passages(
     )
 
 
+def split_assignment(id_col: str = "doc_id"):
+    """Column expr: deterministic md5 train/val/test split of an id.
+
+    First hex digit of md5(id-as-string): '0'-'b' train (12/16),
+    'c'-'d' val (2/16), 'e'-'f' test (2/16) — stable under re-runs,
+    resharding and cluster size."""
+    c = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    return (
+        F.when(c.isin(*"0123456789ab"), F.lit("train"))
+        .when(c.isin("c", "d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: int | None = None,
+) -> DataFrame:
+    """Train/val/test contamination: duplicate texts that span split
+    boundaries — the eval-hygiene gate a training pipeline runs before
+    trusting held-out metrics (leaked eval docs inflate them).
+
+    Documents are keyed by ``md5(text)`` (or ``md5(substring(text, 1,
+    prefix))`` when ``prefix`` is set — a deterministic stand-in for the
+    normalize-then-hash canonicalization real pipelines apply first) and
+    assigned their split by the same md5-digit rule as ``hash_split``.
+    Returns one row per contaminated group: ``(group_hash, n_docs,
+    n_splits, splits, min_doc_id)`` with ``splits`` a sorted csv.
+
+    Scale: pure codegen — md5 + one hash aggregate keyed by the text
+    hash (map-side partial collect_set over ≤3 split labels), then a
+    post-agg filter. Same shuffle shape as exact dedup; no joins.
+    """
+    t = F.col(text_col) if prefix is None else F.substring(F.col(text_col), 1, prefix)
+    d = df.select(
+        F.md5(t).alias("group_hash"),
+        split_assignment(id_col).alias("split"),
+        F.col(id_col),
+    )
+    return (
+        d.groupBy("group_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
 def hash_split(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -297,14 +350,11 @@ def hash_split(
     consistent across retries). Pure codegen: md5 + substring + one
     hash aggregate.
     """
-    c = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
-    split = (
-        F.when(c.isin(*"0123456789ab"), F.lit("train"))
-        .when(c.isin("c", "d"), F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        df.select(split.alias("split"), token_count(F.col(text_col)).alias("nt"))
+        df.select(
+            split_assignment(id_col).alias("split"),
+            token_count(F.col(text_col)).alias("nt"),
+        )
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -119,3 +119,49 @@ def test_corpus_length_quantiles_exact(spark):
                        ("tokens_p90", 0.9), ("tokens_p99", 0.99)]:
             want = round(float(np.percentile(nts, q * 100, method="linear")), 6)
             assert abs(r[col] - want) < 1e-9, (lang, col, r[col], want)
+
+
+def test_contamination_check_vs_hashlib(spark):
+    import hashlib
+
+    from graphriccicurvature_spark.operators.textstats import contamination_check
+
+    def split_of(i):
+        d = hashlib.md5(str(i).encode()).hexdigest()[0]
+        return "train" if d in "0123456789ab" else ("val" if d in "cd" else "test")
+
+    # find ids landing in different splits so the fixture provably crosses
+    ids = list(range(200))
+    by_split = {}
+    for i in ids:
+        by_split.setdefault(split_of(i), []).append(i)
+    a_train, b_train = by_split["train"][:2]
+    a_val = by_split["val"][0]
+    a_test = by_split["test"][0]
+
+    rows = [
+        (a_train, "dup one"), (a_val, "dup one"),          # train+val leak
+        (b_train, "dup two"), (a_test, "dup two"),         # train+test leak
+        (by_split["train"][2], "same split"),              # dup within one split
+        (by_split["train"][3], "same split"),
+        (by_split["val"][1], "unique text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.group_hash: r for r in contamination_check(df).collect()}
+
+    def md5(t):
+        return hashlib.md5(t.encode()).hexdigest()
+
+    assert set(got) == {md5("dup one"), md5("dup two")}  # same-split dup excluded
+    r1 = got[md5("dup one")]
+    assert r1.n_docs == 2 and r1.n_splits == 2 and r1.splits == "train,val"
+    assert r1.min_doc_id == min(a_train, a_val)
+    r2 = got[md5("dup two")]
+    assert r2.n_docs == 2 and r2.splits == "test,train"
+
+    # prefix canonicalization: texts identical in the first 4 chars collide
+    df2 = spark.createDataFrame(
+        [(a_train, "abcdXXX"), (a_val, "abcdYYY")], "doc_id long, text string"
+    )
+    assert contamination_check(df2, prefix=4).count() == 1
+    assert contamination_check(df2).count() == 0
