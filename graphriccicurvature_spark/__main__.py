@@ -213,6 +213,10 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.textstats import hash_split
 
         return hash_split(_load_docs(spark, args))
+    if op == "contamination":
+        from .operators.textstats import contamination_check
+
+        return contamination_check(_load_docs(spark, args), prefix=args.prefix)
     if op == "host-stats":
         from .operators.textstats import host_stats
 
@@ -479,7 +483,7 @@ OPS = (
     "hyperball-harmonic distance-distribution effective-diameter "
     "hyperball-dd scc bowtie katz host-graph url-normalize random-walks "
     "condensation topo-levels eigenvector betweenness tfidf pii-redact "
-    "pack anchor-stats sessions embeddedness"
+    "pack anchor-stats sessions embeddedness contamination"
 ).split()
 
 
@@ -524,6 +528,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--gap", default="30 minutes",
                    help="sessions: inactivity gap")
     p.add_argument("--events", help="sessions: events parquet path")
+    p.add_argument("--prefix", type=int, default=None,
+                   help="contamination: canonicalize text to its first N "
+                        "chars before hashing (default: full text)")
     p.add_argument("--radius", type=int, default=2,
                    help="neighborhood/hyperball ball radius (hops)")
     p.add_argument("--seeds", help="ppr: comma-separated seed node ids")

@@ -96,6 +96,14 @@ def test_cli_embeddedness(spark, tmp_path):
     assert df.filter("jaccard < 0 OR jaccard > 1").count() == 0
 
 
+def test_cli_contamination(spark, tmp_path):
+    out = tmp_path / "cont"
+    main(["contamination", "--docs", SF, "--output", str(out), "--prefix", "40"])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"group_hash", "n_docs", "n_splits", "splits", "min_doc_id"}
+    assert df.filter("n_splits < 2").count() == 0
+
+
 def test_cli_ppr_adamic_clustering(spark, tmp_path):
     out_p = tmp_path / "ppr"
     main(["ppr", "--docs", SF, "--output", str(out_p), "--iterations", "3",
