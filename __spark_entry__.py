@@ -541,6 +541,15 @@ def _q_contamination(spark, sf):
     )
 
 
+def _q_minhash_contamination(spark, sf):
+    """Near-dup cross-split contamination via the md5-twin MinHash
+    pipeline (value-level SQL oracle replays permutations, banding,
+    Jaccard verify, and the split rule bit-for-bit)."""
+    from graphriccicurvature_spark.operators.dedup import minhash_contamination
+
+    return minhash_contamination(_docs(spark, sf))
+
+
 def _q_hash_split(spark, sf):
     from graphriccicurvature_spark.operators.textstats import hash_split
 
@@ -1383,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dup_passages": _q_corpus_dup,
         "hash_split": _q_hash_split,
         "contamination_40": _q_contamination,
+        "minhash_contamination": _q_minhash_contamination,
         "host_stats": _q_host_stats,
         "token_freq_top100": _q_token_freq,
         "pages_text": _q_pages_text,
@@ -1782,6 +1792,55 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS doc_id, label AS cluster, label = node AS is_survivor
         FROM lab WHERE iter = 40
+    """
+    sql["minhash_contamination"] = f"""
+        WITH {_TOKS},
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3
+                        THEN list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+                        ELSE []::VARCHAR[] END AS shset
+            FROM toks
+        ),
+        shs AS (SELECT doc_id, shset FROM sh WHERE len(shset) > 0),
+        sigs AS (
+            SELECT doc_id,
+                   [list_min(list_transform(shset, s -> md5(CAST(p AS VARCHAR) || ':' || s)))
+                    FOR p IN range(0, 8)] AS sig
+            FROM shs
+        ),
+        bu AS (
+            SELECT doc_id,
+                   unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*2+1 : b*2+2], ','))
+                           FOR b IN range(0, 4)]) AS bucket
+            FROM sigs
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bu x JOIN bu y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ),
+        ver AS (
+            SELECT a, b FROM cand
+            JOIN shs sa ON sa.doc_id = a
+            JOIN shs sb ON sb.doc_id = b
+            WHERE len(list_distinct(sa.shset || sb.shset)) > 0
+              AND CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+                  / len(list_distinct(sa.shset || sb.shset)) >= 0.8
+        ),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                        ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT v.a AS doc_a, v.b AS doc_b,
+               pa.split AS split_a, pb.split AS split_b
+        FROM ver v
+        JOIN sp pa ON pa.doc_id = v.a
+        JOIN sp pb ON pb.doc_id = v.b
+        WHERE pa.split <> pb.split
     """
     sql["token_stats"] = """
         SELECT doc_id,

@@ -217,6 +217,10 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.textstats import contamination_check
 
         return contamination_check(_load_docs(spark, args), prefix=args.prefix)
+    if op == "minhash-contamination":
+        from .operators.dedup import minhash_contamination
+
+        return minhash_contamination(_load_docs(spark, args))
     if op == "host-stats":
         from .operators.textstats import host_stats
 
@@ -483,7 +487,8 @@ OPS = (
     "hyperball-harmonic distance-distribution effective-diameter "
     "hyperball-dd scc bowtie katz host-graph url-normalize random-walks "
     "condensation topo-levels eigenvector betweenness tfidf pii-redact "
-    "pack anchor-stats sessions embeddedness contamination"
+    "pack anchor-stats sessions embeddedness contamination "
+    "minhash-contamination"
 ).split()
 
 

@@ -247,6 +247,31 @@ def minhash_md5_dedup(
 
     Returns (id, cluster, is_survivor).
     """
+    verified = _md5_verified_pairs(
+        df, id_col, text_col, shingle_k, num_perm, bands, jaccard_threshold
+    )
+    all_ids = df.select(F.col(id_col).alias("node"))
+    clusters = connected_components_hybrid(verified, vertices=all_ids)
+    return clusters.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+    )
+
+
+def _md5_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_perm: int,
+    bands: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Verified near-dup pairs (src < dst) of the md5-twin MinHash-LSH
+    pipeline: sig -> band buckets -> candidate pairs -> exact-Jaccard
+    verify. Shared by :func:`minhash_md5_dedup` (clusters them) and
+    :func:`minhash_contamination` (filters them to split-crossing)."""
     rpb = num_perm // bands
     sh = word_shingles(F.col(text_col), shingle_k)
     docs = (
@@ -290,12 +315,52 @@ def minhash_md5_dedup(
         .filter(F.col("inter") / F.col("uni") >= jaccard_threshold)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    all_ids = df.select(F.col(id_col).alias("node"))
-    clusters = connected_components_hybrid(verified, vertices=all_ids)
-    return clusters.select(
-        F.col("node").alias(id_col),
-        F.col("component").alias("cluster"),
-        (F.col("node") == F.col("component")).alias("is_survivor"),
+    return verified
+
+
+def minhash_contamination(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate train/val/test contamination: verified MinHash-LSH
+    near-dup pairs whose endpoints land in DIFFERENT md5 splits — the
+    fuzzy companion of ``contamination_check`` (exact dups), catching
+    lightly-edited eval documents leaked into train. Uses the md5-twin
+    pipeline so the whole query (pairs + split rule) sits under a
+    value-level SQL oracle. Returns ``(doc_a, doc_b, split_a, split_b)``
+    with ``doc_a < doc_b``.
+
+    Scale: the pair generation is the LSH bucket join (bounded per
+    bucket); the split join is two broadcastable projections of the
+    id column — no new shuffle shape beyond the dedup pipeline.
+    """
+    from .textstats import split_assignment
+
+    pairs = _md5_verified_pairs(
+        df, id_col, text_col, shingle_k, num_perm, bands, jaccard_threshold
+    )
+    sp = df.select(F.col(id_col), split_assignment(id_col).alias("split"))
+    return (
+        pairs.join(
+            sp.select(F.col(id_col).alias("src"), F.col("split").alias("split_a")),
+            "src",
+        )
+        .join(
+            sp.select(F.col(id_col).alias("dst"), F.col("split").alias("split_b")),
+            "dst",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.col("src").alias("doc_a"),
+            F.col("dst").alias("doc_b"),
+            "split_a",
+            "split_b",
+        )
     )
 
 

@@ -104,6 +104,14 @@ def test_cli_contamination(spark, tmp_path):
     assert df.filter("n_splits < 2").count() == 0
 
 
+def test_cli_minhash_contamination(spark, tmp_path):
+    out = tmp_path / "mcont"
+    main(["minhash-contamination", "--docs", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"doc_a", "doc_b", "split_a", "split_b"}
+    assert df.filter("split_a = split_b").count() == 0
+
+
 def test_cli_ppr_adamic_clustering(spark, tmp_path):
     out_p = tmp_path / "ppr"
     main(["ppr", "--docs", SF, "--output", str(out_p), "--iterations", "3",

@@ -165,3 +165,38 @@ def test_contamination_check_vs_hashlib(spark):
     )
     assert contamination_check(df2, prefix=4).count() == 1
     assert contamination_check(df2).count() == 0
+
+
+def test_minhash_contamination_cross_split_only(spark):
+    import hashlib
+
+    from graphriccicurvature_spark.operators.dedup import minhash_contamination
+
+    def split_of(i):
+        d = hashlib.md5(str(i).encode()).hexdigest()[0]
+        return "train" if d in "0123456789ab" else ("val" if d in "cd" else "test")
+
+    by_split = {}
+    for i in range(300):
+        by_split.setdefault(split_of(i), []).append(i)
+    t0, t1, t2 = by_split["train"][:3]
+    v0 = by_split["val"][0]
+
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (t0, near), (v0, near),               # identical -> cross-split pair
+        (t1, near), (t2, near),               # also identical but same-split
+        (by_split["test"][0], "totally different words about other topics entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.split_a, r.split_b)
+        for r in minhash_contamination(df).collect()
+    )
+    # cross-split pairs only: (t0,v0), (t1,v0), (t2,v0) — t0/t1/t2 are all
+    # train so their mutual pairs are filtered; every pair with v0 crosses
+    want = sorted(
+        (min(a, v0), max(a, v0), split_of(min(a, v0)), split_of(max(a, v0)))
+        for a in (t0, t1, t2)
+    )
+    assert got == want
