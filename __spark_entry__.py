@@ -949,6 +949,27 @@ def _q_ppr(spark, sf):
     return r.select("node", F.round("ppr", 6).alias("ppr"))
 
 
+def _q_spam_mass(spark, sf):
+    """Relative spam mass: PageRank vs TrustRank (seeds node % 13 == 0),
+    both 5 iterations — the Gyöngyi-et-al. link-spam detector."""
+    from graphriccicurvature_spark.operators.linkgraph import spam_mass
+
+    e = edges_from_documents(spark, sf)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % _PPR_SEED_MOD == 0)
+    r = spam_mass(e, seeds, damping=_DAMP, num_iterations=_PPR_ITERS)
+    return r.select(
+        "node",
+        F.round("pagerank", 6).alias("pagerank"),
+        F.round("trustrank", 6).alias("trustrank"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+    )
+
+
 def _q_adamic_adar(spark, sf):
     """Adamic-Adar link prediction: non-adjacent pairs with >= 2 common
     neighbors, scored sum(1/ln(deg(u))); hub cap 100."""
@@ -1414,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "cc_bounded_8": _q_cc,
         "ppr_5": _q_ppr,
+        "spam_mass_5": _q_spam_mass,
         "adamic_adar": _q_adamic_adar,
         "clustering_coeff": _q_clustering,
         "assortativity": _q_assortativity,
@@ -2683,6 +2705,78 @@ def oracle_sql() -> dict[str, str]:
             JOIN svec sv ON sv.node = q.dst
         )
         SELECT node, round(r, 6) AS ppr FROM pr WHERE iter = {_PPR_ITERS}
+    """
+    # spam mass: both verified walk derivations (pagerank_5's pr,
+    # ppr_5's tr) in one WITH RECURSIVE, joined + column math
+    sql["spam_mass_5"] = f"""
+        WITH RECURSIVE {_E},
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+        pr_edges AS (
+            SELECT e.src, e.dst, o.od FROM edges e JOIN outdeg o USING (src)
+            UNION ALL
+            SELECT d.node AS src, t.node AS dst, (SELECT n FROM nn) AS od
+            FROM (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)) d
+            CROSS JOIN nodes t
+        ),
+        pr(iter, node, r) AS (
+            SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM nodes
+            UNION ALL
+            SELECT q.iter + 1, q.dst,
+                   (1 - {_DAMP}) / (SELECT n FROM nn) + {_DAMP} * q.s
+            FROM (
+                SELECT p.iter AS iter, fe.dst AS dst, sum(p.r / fe.od) AS s
+                FROM pr p JOIN pr_edges fe ON fe.src = p.node
+                WHERE p.iter < {_PPR_ITERS}
+                GROUP BY p.iter, fe.dst
+            ) q
+        ),
+        seeds AS (SELECT node FROM nodes WHERE node % {_PPR_SEED_MOD} = 0),
+        sn AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM seeds),
+        svec AS (
+            SELECT n.node,
+                   CASE WHEN s.node IS NULL THEN 0.0
+                        ELSE 1.0 / (SELECT m FROM sn) END AS s
+            FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        ),
+        woutdeg AS (
+            SELECT src, CAST(sum(weight) AS DOUBLE) AS wout FROM edges GROUP BY src
+        ),
+        tr_edges AS (
+            SELECT e.src, e.dst, e.weight / o.wout AS p
+            FROM edges e JOIN woutdeg o USING (src)
+            UNION ALL
+            SELECT d.node AS src, s.node AS dst, 1.0 / (SELECT m FROM sn) AS p
+            FROM (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)) d
+            CROSS JOIN seeds s
+            UNION ALL
+            SELECT node AS src, node AS dst, 0.0 AS p FROM nodes
+        ),
+        tr(iter, node, r) AS (
+            SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM nodes
+            UNION ALL
+            SELECT q.iter + 1, q.dst,
+                   (1 - {_DAMP}) * sv.s + {_DAMP} * q.c
+            FROM (
+                SELECT p.iter AS iter, fe.dst AS dst, sum(p.r * fe.p) AS c
+                FROM tr p JOIN tr_edges fe ON fe.src = p.node
+                WHERE p.iter < {_PPR_ITERS}
+                GROUP BY p.iter, fe.dst
+            ) q
+            JOIN svec sv ON sv.node = q.dst
+        )
+        SELECT p.node,
+               round(p.r, 6) AS pagerank,
+               round(t.r, 6) AS trustrank,
+               round(CASE WHEN p.r > 0 THEN (p.r - t.r) / p.r ELSE 0.0 END, 6)
+                   AS spam_mass
+        FROM (SELECT node, r FROM pr WHERE iter = {_PPR_ITERS}) p
+        JOIN (SELECT node, r FROM tr WHERE iter = {_PPR_ITERS}) t USING (node)
     """
     sql["adamic_adar"] = f"""
         WITH {_E}, {_UND},

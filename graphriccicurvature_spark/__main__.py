@@ -245,6 +245,16 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         return cocitation_jaccard(
             _load_edges(spark, args), min_shared=args.min_shared
         )
+    if op == "spam-mass":
+        from .operators.linkgraph import spam_mass
+
+        e = _load_edges(spark, args)
+        if not args.seeds:
+            sys.exit("spam-mass needs --seeds (comma-separated trusted node ids)")
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in args.seeds.split(",")], "node long"
+        )
+        return spam_mass(e, seeds, num_iterations=args.iterations)
     if op == "ppr":
         from pyspark.sql import functions as F
 
@@ -488,7 +498,7 @@ OPS = (
     "hyperball-dd scc bowtie katz host-graph url-normalize random-walks "
     "condensation topo-levels eigenvector betweenness tfidf pii-redact "
     "pack anchor-stats sessions embeddedness contamination "
-    "minhash-contamination"
+    "minhash-contamination spam-mass"
 ).split()
 
 

@@ -1007,3 +1007,46 @@ def hyperball_distance_distribution(
             "pairs_estimate"
         ),
     )
+
+
+def spam_mass(
+    edges: DataFrame,
+    trusted: DataFrame,
+    damping: float = 0.85,
+    num_iterations: int = 5,
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Garcia-Molina & Pedersen, "Link Spam
+    Detection Based on Mass Estimation", VLDB 2006): the fraction of a
+    page's PageRank NOT explainable by trusted sources,
+
+        mass(v) = (pr(v) - tr(v)) / pr(v)
+
+    where ``pr`` is ordinary PageRank (uniform reset) and ``tr`` is
+    TrustRank (the same walk with reset + dangling mass on the trusted
+    seed set — :func:`personalized_pagerank`), both unit-normalized.
+    Mass near 1 flags link-spam candidates (rank earned from untrusted
+    regions); strongly trusted pages can go negative. Returns
+    ``(node, pagerank, trustrank, spam_mass)``.
+
+    Scale: two bounded power iterations over the same transition table —
+    exactly PageRank's per-round shuffle shape twice — plus one final
+    node-keyed join. The two walks are independent and share no state, so
+    a scheduler can overlap them; no new shuffle shape is introduced.
+    """
+    from .pagerank import pagerank
+
+    pr = pagerank(edges, damping=damping, num_iterations=num_iterations, directed=True)
+    tr = personalized_pagerank(
+        edges, trusted, damping=damping, num_iterations=num_iterations
+    )
+    j = pr.join(tr, "node")
+    mass = F.when(
+        F.col("pagerank") > 0,
+        (F.col("pagerank") - F.col("ppr")) / F.col("pagerank"),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "node",
+        "pagerank",
+        F.col("ppr").alias("trustrank"),
+        mass.alias("spam_mass"),
+    )

@@ -200,3 +200,38 @@ def test_minhash_contamination_cross_split_only(spark):
         for a in (t0, t1, t2)
     )
     assert got == want
+
+
+def test_spam_mass_flags_untrusted_farm(spark):
+    from graphriccicurvature_spark.operators.linkgraph import (
+        personalized_pagerank,
+        spam_mass,
+    )
+    from graphriccicurvature_spark.operators.pagerank import pagerank
+
+    # trusted core 1<->2; spam farm 100..104 all pointing at target 50,
+    # which reflects back to the farm (classic link-exchange shape)
+    pairs = [(1, 2), (2, 1)] + [(i, 50) for i in range(100, 105)] + [
+        (50, i) for i in range(100, 105)
+    ]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    got = {r.node: r for r in spam_mass(e, seeds, num_iterations=5).collect()}
+
+    # identity: mass == (pr - tr) / pr with the two operators run directly
+    pr = {r.node: r.pagerank for r in pagerank(e, num_iterations=5, directed=True).collect()}
+    tr = {r.node: r.ppr for r in personalized_pagerank(e, seeds, num_iterations=5).collect()}
+    for n, row in got.items():
+        assert row.pagerank == pytest.approx(pr[n])
+        assert row.trustrank == pytest.approx(tr[n])
+        assert row.spam_mass == pytest.approx((pr[n] - tr[n]) / pr[n])
+
+    # the spam target's rank comes from untrusted pages, so its mass tops
+    # the graph (bounded iterations from the uniform start leave residual
+    # trustrank everywhere, so it stays below 1); the trusted core is
+    # trust-dominated and goes negative
+    farm = [got[n].spam_mass for n in [50] + list(range(100, 105))]
+    assert min(farm) > 0.3  # every farm page flagged
+    assert got[1].spam_mass < 0.0 and got[2].spam_mass < 0.0
