@@ -970,6 +970,22 @@ def _q_spam_mass(spark, sf):
     )
 
 
+_CORE_MAX_K = 6
+_CORE_ROUNDS = 8
+
+
+def _q_core_number(spark, sf):
+    """Full k-core decomposition (core number per node), sweep bounded at
+    k <= 6 with 8 peel rounds per k — fixpoint at this graph's degeneracy
+    (3); the oracle unrolls the identical bounded chain."""
+    from graphriccicurvature_spark.operators.linkgraph import core_number
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return core_number(und, max_k=_CORE_MAX_K).select(
+        "node", F.col("core").cast("long").alias("core")
+    )
+
+
 def _q_adamic_adar(spark, sf):
     """Adamic-Adar link prediction: non-adjacent pairs with >= 2 common
     neighbors, scored sum(1/ln(deg(u))); hub cap 100."""
@@ -1436,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_bounded_8": _q_cc,
         "ppr_5": _q_ppr,
         "spam_mass_5": _q_spam_mass,
+        "core_number": _q_core_number,
         "adamic_adar": _q_adamic_adar,
         "clustering_coeff": _q_clustering,
         "assortativity": _q_assortativity,
@@ -2637,6 +2654,45 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT src AS node, count(*) AS degree FROM sF GROUP BY src
     """
+    )
+    # core number: the bounded k-sweep of peel fixpoints, each chain
+    # continuing from the previous k's fixpoint edge set (exactly the
+    # operator's sweep); core(v) = max k whose fixpoint still contains v
+    cn_ctes = ["ce0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+    cn_survivors = []
+    prev = "ce0"
+    for k in range(1, _CORE_MAX_K + 1):
+        cur = prev
+        for r in range(1, _CORE_ROUNDS + 1):
+            nxt = f"ce{k}_{r}"
+            cn_ctes += [
+                f"""cs{k}_{r} AS (
+                    SELECT src, dst FROM {cur}
+                    UNION ALL SELECT dst, src FROM {cur}
+                )""",
+                f"""cg{k}_{r} AS (
+                    SELECT src AS node, count(*) AS degree
+                    FROM cs{k}_{r} GROUP BY src
+                )""",
+                f"cn{k}_{r} AS (SELECT node FROM cg{k}_{r} WHERE degree >= {k})",
+                f"""{nxt} AS MATERIALIZED (
+                    SELECT e.src, e.dst FROM {cur} e
+                    JOIN cn{k}_{r} x ON x.node = e.src
+                    JOIN cn{k}_{r} y ON y.node = e.dst
+                )""",
+            ]
+            cur = nxt
+        cn_survivors.append(
+            f"SELECT node, {k} AS k FROM "
+            f"(SELECT src AS node FROM {cur} UNION SELECT dst FROM {cur})"
+        )
+        prev = cur
+    sql["core_number"] = (
+        f"WITH {_E}, {_UND}, "
+        + ", ".join(cn_ctes)
+        + " SELECT node, CAST(max(k) AS BIGINT) AS core FROM ("
+        + " UNION ALL ".join(cn_survivors)
+        + ") GROUP BY node"
     )
     sql["cocitation_jaccard"] = f"""
         WITH {_E},

@@ -245,6 +245,10 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         return cocitation_jaccard(
             _load_edges(spark, args), min_shared=args.min_shared
         )
+    if op == "core-number":
+        from .operators.linkgraph import core_number
+
+        return core_number(_load_edges(spark, args))
     if op == "spam-mass":
         from .operators.linkgraph import spam_mass
 
@@ -498,7 +502,7 @@ OPS = (
     "hyperball-dd scc bowtie katz host-graph url-normalize random-walks "
     "condensation topo-levels eigenvector betweenness tfidf pii-redact "
     "pack anchor-stats sessions embeddedness contamination "
-    "minhash-contamination spam-mass"
+    "minhash-contamination spam-mass core-number"
 ).split()
 
 

@@ -1050,3 +1050,40 @@ def spam_mass(
         F.col("ppr").alias("trustrank"),
         mass.alias("spam_mass"),
     )
+
+
+def core_number(edges: DataFrame, max_k: int | None = None) -> DataFrame:
+    """Full k-core decomposition: each node's core number = the largest
+    ``k`` for which it survives the k-core peel (Seidman degeneracy
+    ordering). Input is the canonical undirected edge table; returns
+    ``(node, core)`` for every node with at least one edge (core >= 1).
+    ``max_k`` bounds the sweep (caps both work and output values).
+
+    Computed as a k-sweep of :func:`k_core` fixpoints, each peeling the
+    PREVIOUS core's edge set (the k-core of the (k-1)-core is the k-core
+    of the graph), so the edge set shrinks monotonically across the
+    sweep. Sweep length = the graph degeneracy, which is small on web
+    graphs (power-law graphs have degeneracy << max degree); each step
+    inherits k_core's per-round cost of one degree aggregation plus two
+    semi-joins on an ever-smaller edge set. Per-step lineage is
+    truncated so the sweep stays resumable and the plan bounded.
+    """
+    cur = edges.select("src", "dst")
+    out = None
+    k = 1
+    while max_k is None or k <= max_k:
+        surv = k_core(cur, k).select("node")
+        if surv.isEmpty():
+            break
+        lab = surv.select("node", F.lit(k).alias("core"))
+        out = lab if out is None else out.unionByName(lab)
+        cur = (
+            cur.join(surv.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(surv.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .transform(truncate_plan)
+        )
+        k += 1
+    if out is None:
+        return edges.sparkSession.createDataFrame([], "node long, core int")
+    return out.groupBy("node").agg(F.max("core").alias("core"))

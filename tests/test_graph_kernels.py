@@ -140,3 +140,21 @@ def test_lpa_majority_matches_oracle(spark):
     ).collect()}
     want = lpa_majority_oracle(G, max_iter=5)
     assert got == want
+
+
+def test_core_number_matches_networkx(spark):
+    from graphriccicurvature_spark.operators.linkgraph import core_number
+
+    for G in [_unweighted_karate(), nx.gnp_random_graph(80, 0.08, seed=7)]:
+        G.remove_nodes_from(list(nx.isolates(G)))
+        got = {r.node: r.core for r in core_number(make_edges(spark, list(G.edges()))).collect()}
+        assert got == nx.core_number(G)
+
+
+def test_core_number_max_k_caps_values(spark):
+    from graphriccicurvature_spark.operators.linkgraph import core_number
+
+    G = _unweighted_karate()  # degeneracy 4
+    got = {r.node: r.core for r in core_number(make_edges(spark, list(G.edges())), max_k=2).collect()}
+    want = {n: min(c, 2) for n, c in nx.core_number(G).items()}
+    assert got == want
