@@ -1380,6 +1380,76 @@ def _q_betweenness(spark, sf):
     return bc.select("node", F.round("betweenness", 6).alias("betweenness"))
 
 
+_BM25_TERMS = ["merge", "scan", "window"]
+
+
+def _q_bm25(spark, sf):
+    """BM25 top-20 documents for a fixed 3-term query (Lucene idf form)
+    — the retrieval probe of a curation pipeline; exact ln() twin in
+    DuckDB."""
+    from graphriccicurvature_spark.operators.textstats import bm25_topk
+
+    t = bm25_topk(_docs(spark, sf), _BM25_TERMS, k=20)
+    return t.select(
+        F.col("id").alias("doc_id"),
+        "matched_terms",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_pmi(spark, sf):
+    """Top-50 document-level co-occurrence PMI token pairs (>= 5 shared
+    docs) — collocation/boilerplate-phrase mining."""
+    from graphriccicurvature_spark.operators.textstats import pmi_pairs
+
+    t = pmi_pairs(_docs(spark, sf), min_pair_docs=5, k=50)
+    return t.select(
+        "a",
+        "b",
+        "pair_docs",
+        F.round("pmi", 6).alias("pmi"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_unigram_kl(spark, sf):
+    """Per-document KL divergence from the corpus unigram distribution —
+    the distributional outlier signal of quality filtering."""
+    from graphriccicurvature_spark.operators.textstats import unigram_kl
+
+    t = unigram_kl(_docs(spark, sf))
+    return t.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("kl", 6).alias("kl"),
+    )
+
+
+def _q_bib_coupling(spark, sf):
+    """Bibliographic coupling pairs (sources sharing >= 2 out-link
+    targets, in-degree-capped targets) — the out-link mirror of
+    co-citation for related-page discovery."""
+    from graphriccicurvature_spark.operators.linkgraph import bib_coupling
+
+    e = edges_from_documents(spark, sf)
+    p = bib_coupling(e, min_shared=_COCIT_MIN_SHARED, max_in_degree=_COCIT_CAP)
+    return p.select("a", "b", "shared", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_rich_club(spark, sf):
+    """Rich-club coefficient phi(k) for every degree threshold k —
+    hub-density profile separating link-farm cores from organic hubs;
+    computed closed-form from two histograms, no per-k subgraph scan."""
+    from graphriccicurvature_spark.operators.linkgraph import rich_club
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    t = rich_club(und)
+    return t.select(
+        "k", "n_nodes", "n_edges", F.round("phi", 6).alias("phi")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the grading driver records only the
     FIRST 50 entries in CORRECTNESS_r{N}.json (r4 checked exactly
@@ -1494,6 +1564,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "tfidf_top3": _q_tfidf,
         "betweenness_4src": _q_betweenness,
+        "bm25_top20": _q_bm25,
+        "pmi_top50": _q_pmi,
+        "unigram_kl": _q_unigram_kl,
+        "bib_coupling": _q_bib_coupling,
+        "rich_club": _q_rich_club,
     }
 
 
@@ -3669,5 +3744,153 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT n.node, round(coalesce(bc.b, 0.0), 6) AS betweenness
         FROM gnodes n LEFT JOIN bc ON bc.node = n.node
+    """
+    _bm25_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    sql["bm25_top20"] = f"""
+        WITH {_TOKS},
+        term AS (SELECT doc_id AS id, unnest(t) AS term FROM toks),
+        doclen AS (SELECT id, count(*) AS dl FROM term GROUP BY id),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl
+            FROM doclen
+        ),
+        tf AS (
+            SELECT id, term, count(*) AS tf FROM term
+            WHERE term IN ({_bm25_in}) GROUP BY id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.id,
+                   ln((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * (1.2 + 1.0))
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl / s.avg_dl))
+                       AS w
+            FROM tf
+            JOIN dfreq USING (term)
+            JOIN doclen ON doclen.id = tf.id
+            CROSS JOIN stats s
+        ),
+        agg AS (
+            SELECT id, count(*) AS matched_terms, sum(w) AS score
+            FROM scored GROUP BY id
+        ),
+        ranked AS (
+            SELECT id, matched_terms, score,
+                   row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+            FROM agg
+        )
+        SELECT id AS doc_id, CAST(matched_terms AS BIGINT) AS matched_terms,
+               round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 20
+    """
+    sql["pmi_top50"] = f"""
+        WITH {_TOKS},
+        dt AS (
+            SELECT DISTINCT doc_id AS id, unnest(t) AS term FROM toks
+        ),
+        cterm AS (SELECT term, count(*) AS c FROM dt GROUP BY term),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        pairs AS (
+            SELECT d1.term AS a, d2.term AS b, count(*) AS pair_docs
+            FROM dt d1 JOIN dt d2 ON d1.id = d2.id AND d1.term < d2.term
+            GROUP BY d1.term, d2.term
+            HAVING count(*) >= 5
+        ),
+        scored AS (
+            SELECT p.a, p.b, p.pair_docs,
+                   ln(CAST(p.pair_docs AS DOUBLE) * nn.n_docs
+                      / (ca.c * cb.c)) AS pmi
+            FROM pairs p
+            JOIN cterm ca ON ca.term = p.a
+            JOIN cterm cb ON cb.term = p.b
+            CROSS JOIN nn
+        ),
+        ranked AS (
+            SELECT a, b, pair_docs, pmi,
+                   row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS rank
+            FROM scored
+        )
+        SELECT a, b, CAST(pair_docs AS BIGINT) AS pair_docs,
+               round(pmi, 6) AS pmi, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 50
+    """
+    sql["unigram_kl"] = f"""
+        WITH {_TOKS},
+        term AS (SELECT doc_id AS id, unnest(t) AS term FROM toks),
+        tf AS (SELECT id, term, count(*) AS tf FROM term GROUP BY id, term),
+        doclen AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+        marg AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct FROM tf GROUP BY term),
+        tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS n_total FROM marg),
+        kl AS (
+            SELECT tf.id,
+                   sum((CAST(tf.tf AS DOUBLE) / doclen.dl)
+                       * ln((CAST(tf.tf AS DOUBLE) / doclen.dl)
+                            / (marg.ct / tot.n_total))) AS kl
+            FROM tf
+            JOIN marg USING (term)
+            JOIN doclen ON doclen.id = tf.id
+            CROSS JOIN tot
+            GROUP BY tf.id
+        )
+        SELECT d.doc_id, CAST(coalesce(doclen.dl, 0) AS BIGINT) AS n_tokens,
+               round(kl.kl, 6) AS kl
+        FROM documents d
+        LEFT JOIN doclen ON doclen.id = d.doc_id
+        LEFT JOIN kl ON kl.id = d.doc_id
+    """
+    sql["bib_coupling"] = f"""
+        WITH {_E},
+        ok AS (
+            SELECT dst FROM edges GROUP BY dst HAVING count(*) <= {_COCIT_CAP}
+        ),
+        ce AS (SELECT e.src, e.dst FROM edges e JOIN ok USING (dst)),
+        outd AS (SELECT src AS node, count(*) AS outdeg FROM ce GROUP BY src),
+        pairs AS (
+            SELECT e1.src AS a, e2.src AS b, count(*) AS shared
+            FROM ce e1 JOIN ce e2 ON e1.dst = e2.dst AND e1.src < e2.src
+            GROUP BY e1.src, e2.src
+            HAVING count(*) >= {_COCIT_MIN_SHARED}
+        )
+        SELECT p.a, p.b, p.shared,
+               round(CAST(p.shared AS DOUBLE)
+                     / (oa.outdeg + ob.outdeg - p.shared), 6) AS jaccard
+        FROM pairs p
+        JOIN outd oa ON oa.node = p.a
+        JOIN outd ob ON ob.node = p.b
+    """
+    sql["rich_club"] = f"""
+        WITH {_E}, {_UND},
+        nhist AS (SELECT degree AS k, count(*) AS nd FROM deg GROUP BY degree),
+        ehist AS (
+            SELECT least(da.degree, db.degree) AS k, count(*) AS ne
+            FROM und u
+            JOIN deg da ON da.node = u.src
+            JOIN deg db ON db.node = u.dst
+            GROUP BY least(da.degree, db.degree)
+        ),
+        mx AS (SELECT max(degree) AS m FROM deg),
+        spine AS (SELECT unnest(generate_series(0, (SELECT m FROM mx))) AS k),
+        joined AS (
+            SELECT s.k, coalesce(nhist.nd, 0) AS nd, coalesce(ehist.ne, 0) AS ne
+            FROM spine s
+            LEFT JOIN nhist ON nhist.k = s.k
+            LEFT JOIN ehist ON ehist.k = s.k
+        ),
+        cum AS (
+            SELECT k,
+                   sum(nd) OVER (ORDER BY k DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - nd AS n_nodes,
+                   sum(ne) OVER (ORDER BY k DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - ne AS n_edges
+            FROM joined
+        )
+        SELECT k, CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               round(CASE WHEN n_nodes >= 2
+                          THEN 2.0 * n_edges / (n_nodes * (n_nodes - 1))
+                     END, 6) AS phi
+        FROM cum WHERE k < (SELECT m FROM mx)
     """
     return sql

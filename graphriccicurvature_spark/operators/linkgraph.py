@@ -1087,3 +1087,126 @@ def core_number(edges: DataFrame, max_k: int | None = None) -> DataFrame:
     if out is None:
         return edges.sparkSession.createDataFrame([], "node long, core int")
     return out.groupBy("node").agg(F.max("core").alias("core"))
+
+
+def bib_coupling(
+    edges: DataFrame,
+    min_shared: int = 2,
+    max_in_degree: int = 1000,
+) -> DataFrame:
+    """Bibliographic coupling: pairs of pages that link to common targets
+    (Kessler 1963) — the out-link mirror of :func:`cocitation_jaccard`.
+
+    For distinct sources a < b, ``shared`` = number of targets both link
+    to, and ``jaccard`` = shared / (outdeg(a) + outdeg(b) - shared), with
+    out-degrees counted over the same (capped) target set. Returns
+    ``(a, b, shared, jaccard)`` for pairs with shared >= ``min_shared``.
+
+    Targets with in-degree > ``max_in_degree`` are excluded BEFORE the
+    pair join: a page cited by 100k sources contributes 10^10 coupled
+    pairs and no topical signal (everyone links to the homepage). The cap
+    bounds the self-join fan-out at cap^2 per target, exactly like the
+    co-citation cap. Pure codegen: one groupBy for the cap, one self-join
+    + count for pairs, two out-degree joins.
+    """
+    ok = (
+        edges.groupBy("dst")
+        .agg(F.count("*").alias("_id"))
+        .filter(F.col("_id") <= max_in_degree)
+        .select("dst")
+    )
+    ce = edges.join(ok, "dst", "left_semi").select("src", "dst")
+    outd = ce.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
+    e1 = ce.select("dst", F.col("src").alias("a"))
+    e2 = ce.select("dst", F.col("src").alias("b"))
+    pairs = (
+        e1.join(e2, "dst")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(outd.withColumnRenamed("node", "a").withColumnRenamed("outdeg", "oa"), "a")
+        .join(outd.withColumnRenamed("node", "b").withColumnRenamed("outdeg", "ob"), "b")
+        .select(
+            "a",
+            "b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("oa") + F.col("ob") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient table (Zhou & Mondragon 2004) of the
+    canonical undirected graph: for every threshold ``k`` from 0 to
+    max_degree - 1,
+
+        phi(k) = 2 * E_k / (N_k * (N_k - 1))
+
+    where N_k = #nodes with degree > k and E_k = #edges with BOTH
+    endpoints of degree > k. Returns ``(k, n_nodes, n_edges, phi)`` with
+    one row per k (phi = NULL when N_k < 2). A high phi at large k means
+    the hubs form a dense "rich club" — on web graphs this separates
+    link-farm cores from organically sparse hub sets.
+
+    Closed form, no per-k subgraph scan: a node of degree d survives all
+    thresholds k < d, and an edge survives all k < min(d_src, d_dst), so
+    N_k and E_k are suffix-sums of (a) the degree histogram and (b) the
+    min-endpoint-degree edge histogram. Plan: one degree aggregation, two
+    tiny histograms, a left join onto the 0..max-1 spine, and two
+    descending-cumulative windows over at most max_degree rows — the
+    windows run on histogram rows (#distinct degrees), never on the edge
+    table. Pure codegen; scales as 2 edge-table shuffles regardless of k
+    range.
+    """
+    from pyspark.sql import Window
+
+    und = edges.select("src", "dst")
+    deg = _sym_degree(und)
+    nhist = deg.groupBy("degree").agg(F.count("*").alias("nd"))
+    ehist = (
+        und.join(deg.withColumnRenamed("node", "src").withColumnRenamed("degree", "ds"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("degree", "dd"), "dst")
+        .select(F.least("ds", "dd").alias("mindeg"))
+        .groupBy("mindeg")
+        .agg(F.count("*").alias("ne"))
+    )
+    kmax = deg.agg(F.max("degree").alias("m"))
+    # spine includes k = max so the degree-max histogram bucket enters the
+    # suffix sums; the k = max row itself (N_k = 0) is dropped at the end.
+    spine = kmax.select(
+        F.explode(F.sequence(F.lit(0), F.col("m"))).alias("k"), F.col("m")
+    )
+    w = Window.orderBy(F.col("k").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    joined = (
+        spine.join(nhist.withColumnRenamed("degree", "k"), "k", "left")
+        .join(ehist.withColumnRenamed("mindeg", "k"), "k", "left")
+        .select(
+            "k",
+            "m",
+            F.coalesce("nd", F.lit(0)).alias("nd"),
+            F.coalesce("ne", F.lit(0)).alias("ne"),
+        )
+    )
+    # nodes with degree > k = suffix sum of nd over degrees k+1..max =
+    # cumulative-from-top sum minus this row's own bucket; same for edges.
+    out = joined.select(
+        "k",
+        "m",
+        (F.sum("nd").over(w) - F.col("nd")).alias("n_nodes"),
+        (F.sum("ne").over(w) - F.col("ne")).alias("n_edges"),
+    ).filter(F.col("k") < F.col("m"))
+    return out.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.when(
+            F.col("n_nodes") >= 2,
+            2.0 * F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+        ).alias("phi"),
+    )

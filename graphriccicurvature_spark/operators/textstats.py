@@ -562,3 +562,201 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("id", "term", "tf", "score", "rank")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval (Robertson-Sparck Jones probabilistic ranking):
+    score every document against a fixed bag of ``query_terms`` and
+    return the top ``k``. Per matching term,
+
+        idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)          (Lucene form)
+        w(t, d) = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len_d / avg_len))
+
+    Returns ``(id, matched_terms, score, rank)``; ties broken by doc id.
+    The query-side index of a corpus-curation pipeline (topic probes,
+    eval-set retrieval, "find documents about X" sampling sheets).
+
+    Scale shape: the explode + (doc, term) count runs ONCE over the
+    corpus; the query filter is a broadcast hash semi-join against a
+    literal term list, so only matching (doc, term) rows — a tiny
+    fraction of the corpus — reach the scoring join. Doc lengths and the
+    avg-length/df scalars come from codegen aggregations (the scalar
+    table is broadcast). The final top-k is a single global sort bounded
+    by the matching-doc count (TakeOrderedAndProject when collected with
+    a limit). No UDFs anywhere; ln() replays exactly in DuckDB.
+    """
+    from pyspark.sql import Window
+
+    qt = [t for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    doclen = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    n_avg = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_dl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(qt))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(n_avg))
+        .select(
+            "id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avg_dl"))
+                )
+            ).alias("w"),
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("matched_terms"), F.sum("w").alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "matched_terms", "score", "rank")
+    )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    min_pair_docs: int = 5,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` token pairs by document-level pointwise mutual
+    information (Church & Hanks 1990):
+
+        pmi(a, b) = ln(c_ab * N / (c_a * c_b))
+
+    over DISTINCT-per-document occurrences: c_a = #docs containing a,
+    c_ab = #docs containing both, N = #docs. Only pairs co-occurring in
+    >= ``min_pair_docs`` documents are scored (the classic low-count PMI
+    explosion guard). Returns ``(a, b, pair_docs, pmi, rank)`` with
+    a < b, ties broken lexicographically.
+
+    Collocation mining for corpus analysis (multi-word expressions,
+    boilerplate phrase discovery). Scale shape: distinct (doc, term) is
+    one explode + aggregate; the pair join is a per-document self-join
+    whose fan-out is (distinct terms per doc)^2 / 2 — for web documents
+    after dedup that is bounded by document length, not corpus size, and
+    the groupBy that follows combines map-side. Doc frequencies join
+    broadcast (vocabulary << corpus). Pure codegen; ln() replays exactly
+    in DuckDB.
+    """
+    from pyspark.sql import Window
+
+    dt = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).distinct()
+    cterm = dt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    pairs = (
+        dt.select("id", F.col("term").alias("a"))
+        .join(dt.select("id", F.col("term").alias("b")), "id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_docs"))
+        .filter(F.col("pair_docs") >= min_pair_docs)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(cterm.withColumnRenamed("term", "a").withColumnRenamed("c", "ca")),
+            "a",
+        )
+        .join(
+            F.broadcast(cterm.withColumnRenamed("term", "b").withColumnRenamed("c", "cb")),
+            "b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "pair_docs",
+            F.log(
+                F.col("pair_docs").cast("double")
+                * F.col("n_docs")
+                / (F.col("ca") * F.col("cb"))
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("a", "b", "pair_docs", "pmi", "rank")
+    )
+
+
+def unigram_kl(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document KL divergence from the corpus unigram distribution:
+
+        kl(d) = sum_t p_d(t) * ln(p_d(t) / q(t))
+
+    with p_d the document's token distribution and q the whole-corpus
+    token distribution. Returns ``(id, n_tokens, kl)``; empty documents
+    get kl = NULL. Every document term is by definition in the corpus
+    distribution, so no smoothing is needed and the sum is exact.
+
+    A standard distributional quality/outlier signal for corpus curation
+    (gibberish and template pages sit far from the corpus distribution;
+    Wenzek et al. 2020 use the same construction with an external LM).
+    Scale shape: one explode + (doc, term) count, a broadcast join
+    against the term-marginal table (vocabulary << corpus), one per-doc
+    aggregation. Pure codegen; ln() replays exactly in DuckDB.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    marg = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = marg.agg(F.sum("ct").alias("n_total"))
+    kl = (
+        tf.join(F.broadcast(marg), "term")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            (
+                (F.col("tf") / F.col("dl"))
+                * F.log(
+                    (F.col("tf") / F.col("dl"))
+                    / (F.col("ct") / F.col("n_total"))
+                )
+            ).alias("term_kl"),
+        )
+        .groupBy("id")
+        .agg(F.sum("term_kl").alias("kl"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(doclen, "id", "left")
+        .join(kl, "id", "left")
+        .select("id", F.coalesce("dl", F.lit(0)).alias("n_tokens"), "kl")
+    )
