@@ -489,6 +489,33 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         return session_event_counts_batch(
             spark.read.parquet(args.events), gap=args.gap
         )
+    if op == "bm25":
+        from .operators.textstats import bm25_topk
+
+        if not args.query:
+            sys.exit("bm25 needs --query (comma-separated terms)")
+        return bm25_topk(
+            _load_docs(spark, args), args.query.split(","), k=args.k
+        )
+    if op == "pmi":
+        from .operators.textstats import pmi_pairs
+
+        return pmi_pairs(
+            _load_docs(spark, args), min_pair_docs=args.min_shared, k=args.k
+        )
+    if op == "unigram-kl":
+        from .operators.textstats import unigram_kl
+
+        return unigram_kl(_load_docs(spark, args))
+    if op == "bib-coupling":
+        from .operators.linkgraph import bib_coupling
+
+        return bib_coupling(_load_edges(spark, args), min_shared=args.min_shared)
+    if op == "rich-club":
+        from .operators.linkgraph import rich_club
+        from .sources.edges import canonicalize
+
+        return rich_club(canonicalize(_load_edges(spark, args)))
     sys.exit(f"unknown op {op!r}")
 
 
@@ -502,7 +529,8 @@ OPS = (
     "hyperball-dd scc bowtie katz host-graph url-normalize random-walks "
     "condensation topo-levels eigenvector betweenness tfidf pii-redact "
     "pack anchor-stats sessions embeddedness contamination "
-    "minhash-contamination spam-mass core-number"
+    "minhash-contamination spam-mass core-number bm25 pmi unigram-kl "
+    "bib-coupling rich-club"
 ).split()
 
 
@@ -559,8 +587,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--exclude-intra", action="store_true",
                    help="host-graph: drop same-host links before aggregating")
     p.add_argument("--min-shared", type=int, default=2,
-                   help="cocitation: min common citing sources per pair; "
-                        "adamic-adar: min common neighbors")
+                   help="cocitation/bib-coupling: min common sources/targets "
+                        "per pair; adamic-adar: min common neighbors; "
+                        "pmi: min co-occurrence documents per pair")
+    p.add_argument("--query", help="bm25: comma-separated query terms")
     args = p.parse_args(argv)
     _autodetect(args)
 

@@ -255,3 +255,38 @@ def test_cli_round5b_text_ops(spark, tmp_path):
         "user_id", "session_start", "session_end", "n_events", "sum_value"
     }
     assert dfs.filter("session_end <= session_start").count() == 0
+
+
+def test_cli_round5f_ops(spark, tmp_path):
+    out_b = tmp_path / "bm25"
+    main(["bm25", "--docs", SF, "--output", str(out_b),
+          "--query", "merge,scan", "--k", "5"])
+    dfb = spark.read.parquet(str(out_b))
+    assert set(dfb.columns) == {"id", "matched_terms", "score", "rank"}
+    assert 0 < dfb.count() <= 5
+
+    out_p = tmp_path / "pmi"
+    main(["pmi", "--docs", SF, "--output", str(out_p),
+          "--min-shared", "3", "--k", "10"])
+    dfp = spark.read.parquet(str(out_p))
+    assert set(dfp.columns) == {"a", "b", "pair_docs", "pmi", "rank"}
+    assert dfp.filter("pair_docs < 3").count() == 0
+
+    out_k = tmp_path / "kl"
+    main(["unigram-kl", "--docs", SF, "--output", str(out_k)])
+    dfk = spark.read.parquet(str(out_k))
+    assert set(dfk.columns) == {"id", "n_tokens", "kl"}
+    assert dfk.filter("kl < -1e-9").count() == 0
+
+    out_c = tmp_path / "bib"
+    main(["bib-coupling", "--docs", SF, "--output", str(out_c),
+          "--min-shared", "2"])
+    dfc = spark.read.parquet(str(out_c))
+    assert set(dfc.columns) == {"a", "b", "shared", "jaccard"}
+    assert dfc.filter("shared < 2").count() == 0
+
+    out_r = tmp_path / "rc"
+    main(["rich-club", "--docs", SF, "--output", str(out_r)])
+    dfr = spark.read.parquet(str(out_r))
+    assert set(dfr.columns) == {"k", "n_nodes", "n_edges", "phi"}
+    assert dfr.filter("k = 0").count() == 1
