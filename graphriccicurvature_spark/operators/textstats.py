@@ -584,14 +584,18 @@ def bm25_topk(
     The query-side index of a corpus-curation pipeline (topic probes,
     eval-set retrieval, "find documents about X" sampling sheets).
 
-    Scale shape: the explode + (doc, term) count runs ONCE over the
-    corpus; the query filter is a broadcast hash semi-join against a
-    literal term list, so only matching (doc, term) rows — a tiny
-    fraction of the corpus — reach the scoring join. Doc lengths and the
-    avg-length/df scalars come from codegen aggregations (the scalar
-    table is broadcast). The final top-k is a single global sort bounded
-    by the matching-doc count (TakeOrderedAndProject when collected with
-    a limit). No UDFs anywhere; ln() replays exactly in DuckDB.
+    Scale shape: the corpus is tokenized into per-document term counts
+    exactly TWICE — once for the (N, avg_dl) scalar aggregate and once
+    for the scoring chain — never once per downstream consumer (Spark
+    re-executes a shared subplan per DAG branch, so the naive
+    tf/df/doclen join graph pays 4 full-corpus explodes; this form keeps
+    it at 2 by deriving doc length and per-term doc frequency from the
+    SAME (doc, term) frame via window aggregates instead of re-joined
+    groupBys). The window partitions are (id) then (term): the id
+    window runs on per-doc distinct-term rows and the term window only
+    on rows matching the query's term list. The scalar table is
+    broadcast; the final top-k is one row_number over matching docs.
+    No UDFs anywhere; ln() replays exactly in DuckDB.
     """
     from pyspark.sql import Window
 
@@ -599,20 +603,21 @@ def bm25_topk(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    doclen = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    n_avg = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_dl")
+    tfall = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # doc length attached by window (no self-join => no subtree re-run)
+    with_dl = tfall.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("id"))
     )
-    tf = (
-        toks.filter(F.col("term").isin(qt))
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    n_avg = (
+        tfall.groupBy("id")
+        .agg(F.sum("tf").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_dl"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfq = with_dl.filter(F.col("term").isin(qt)).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(doclen, "id")
-        .crossJoin(F.broadcast(n_avg))
+        tfq.crossJoin(F.broadcast(n_avg))
         .select(
             "id",
             (

@@ -68,3 +68,54 @@ def test_edge_embeddedness_single_enumeration_no_python(spark):
     # three times (the union form): one Generate node, and the cached
     # oriented-edge scan keeps the wedge join single-pass
     assert p.count("Generate") == 1, p
+
+
+def test_bm25_no_python_single_corpus_explode(spark):
+    from graphriccicurvature_spark.operators.textstats import bm25_topk
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("merge scan row "), F.col("id")).alias("text"),
+    )
+    p = _plan(bm25_topk(df, ["merge", "scan"], k=5))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # one corpus tokenization feeding both doclen and tf (no second
+    # explode of the full corpus for the filtered branch)
+    assert p.count("Generate explode") <= 2, p
+
+
+def test_pmi_pairs_no_python(spark):
+    from graphriccicurvature_spark.operators.textstats import pmi_pairs
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b c "), F.col("id") % 3).alias("text"),
+    )
+    p = _plan(pmi_pairs(df, min_pair_docs=2, k=10))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_unigram_kl_no_python_broadcast_marginal(spark):
+    from graphriccicurvature_spark.operators.textstats import unigram_kl
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x y z "), F.col("id") % 5).alias("text"),
+    )
+    p = _plan(unigram_kl(df))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_rich_club_histogram_windows_no_python(spark):
+    from graphriccicurvature_spark.operators.linkgraph import rich_club
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    p = _plan(rich_club(e))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # the suffix-sum windows run on histogram rows; exactly one Window
+    # operator (both cumulative sums share the frame)
+    assert p.count("Window") == 1, p
