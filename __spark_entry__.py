@@ -1381,6 +1381,20 @@ def _q_betweenness(spark, sf):
 
 
 _BM25_TERMS = ["merge", "scan", "window"]
+_TRUSS_MAX_K = 5
+_TRUSS_ROUNDS = 6
+
+
+def _q_truss_number(spark, sf):
+    """Full truss decomposition (truss number per edge), sweep bounded at
+    k <= 5 with 6 peel rounds per k — fixpoint at this graph's max
+    trussness; the oracle unrolls the identical bounded chain."""
+    from graphriccicurvature_spark.operators.linkgraph import truss_number
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return truss_number(und, max_k=_TRUSS_MAX_K, rounds=_TRUSS_ROUNDS).select(
+        "src", "dst", F.col("truss").cast("long").alias("truss")
+    )
 
 
 def _q_bm25(spark, sf):
@@ -1569,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_kl": _q_unigram_kl,
         "bib_coupling": _q_bib_coupling,
         "rich_club": _q_rich_club,
+        "truss_number": _q_truss_number,
     }
 
 
@@ -3893,4 +3908,47 @@ def oracle_sql() -> dict[str, str]:
                      END, 6) AS phi
         FROM cum WHERE k < (SELECT m FROM mx)
     """
+    # truss decomposition: the bounded k-sweep of bounded peel rounds,
+    # unrolled exactly as the engine runs it (truss_number with
+    # max_k=_TRUSS_MAX_K, rounds=_TRUSS_ROUNDS). Support of a canonical
+    # edge = common-neighbor count via the two-hop wedge join.
+    tn_ctes = ["te0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+    tn_survivors = []
+    prev = "te0"
+    for k in range(3, _TRUSS_MAX_K + 1):
+        cur = prev
+        for r in range(1, _TRUSS_ROUNDS + 1):
+            nxt = f"te{k}_{r}"
+            tn_ctes += [
+                f"""tsy{k}_{r} AS (
+                    SELECT src, dst FROM {cur}
+                    UNION ALL SELECT dst, src FROM {cur}
+                )""",
+                f"""tsp{k}_{r} AS (
+                    SELECT e.src, e.dst, count(*) AS s
+                    FROM {cur} e
+                    JOIN tsy{k}_{r} s1 ON s1.src = e.src
+                    JOIN tsy{k}_{r} s2 ON s2.src = e.dst AND s2.dst = s1.dst
+                    GROUP BY e.src, e.dst
+                )""",
+                f"""{nxt} AS MATERIALIZED (
+                    SELECT e.src, e.dst FROM {cur} e
+                    LEFT JOIN tsp{k}_{r} p
+                      ON p.src = e.src AND p.dst = e.dst
+                    WHERE coalesce(p.s, 0) >= {k - 2}
+                )""",
+            ]
+            cur = nxt
+        tn_survivors.append(f"SELECT src, dst, {k} AS k FROM {cur}")
+        prev = cur
+    sql["truss_number"] = (
+        f"WITH {_E}, {_UND}, "
+        + ", ".join(tn_ctes)
+        + """ SELECT u.src, u.dst,
+                     CAST(coalesce(max(t.k), 2) AS BIGINT) AS truss
+              FROM und u LEFT JOIN ("""
+        + " UNION ALL ".join(tn_survivors)
+        + """) t ON t.src = u.src AND t.dst = u.dst
+              GROUP BY u.src, u.dst"""
+    )
     return sql

@@ -516,6 +516,11 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .sources.edges import canonicalize
 
         return rich_club(canonicalize(_load_edges(spark, args)))
+    if op == "truss-number":
+        from .operators.linkgraph import truss_number
+        from .sources.edges import canonicalize
+
+        return truss_number(canonicalize(_load_edges(spark, args)), rounds=args.rounds)
     sys.exit(f"unknown op {op!r}")
 
 
@@ -530,7 +535,7 @@ OPS = (
     "condensation topo-levels eigenvector betweenness tfidf pii-redact "
     "pack anchor-stats sessions embeddedness contamination "
     "minhash-contamination spam-mass core-number bm25 pmi unigram-kl "
-    "bib-coupling rich-club"
+    "bib-coupling rich-club truss-number"
 ).split()
 
 

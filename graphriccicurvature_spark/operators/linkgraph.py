@@ -1210,3 +1210,45 @@ def rich_club(edges: DataFrame) -> DataFrame:
             2.0 * F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
         ).alias("phi"),
     )
+
+
+def truss_number(
+    edges: DataFrame,
+    max_k: int | None = None,
+    rounds: int | None = None,
+) -> DataFrame:
+    """Full truss decomposition: each canonical undirected edge's truss
+    number = the largest ``k`` for which it survives the k-truss peel
+    (Cohen 2008). Returns ``(src, dst, truss)`` for EVERY input edge;
+    edges in no triangle get the trivial truss = 2. ``max_k`` bounds the
+    sweep; ``rounds`` bounds the peel depth per k (the declarative form
+    the DuckDB oracle replays as an unrolled CTE chain; ``None`` peels
+    each k to fixpoint).
+
+    Mirrors :func:`core_number`: the k-truss of the (k-1)-truss is the
+    k-truss of the graph, so step k peels the previous truss's edge set
+    and the edge table shrinks monotonically across the sweep. Sweep
+    length = max trussness, which tracks degeneracy (small and
+    size-stable on power-law web graphs); each peel round is the
+    degree-ordered triangle-support pass + one filter, so the dominant
+    cost is the FIRST k=3 round on the full edge set — exactly one
+    triangle enumeration more than k_truss(3) itself pays.
+    """
+    base = edges.select("src", "dst")
+    cur = base
+    out = None
+    k = 3
+    while max_k is None or k <= max_k:
+        cur = k_truss(cur, k, rounds=rounds).select("src", "dst")
+        if cur.isEmpty():
+            break
+        cur = cur.transform(truncate_plan)
+        lab = cur.select("src", "dst", F.lit(k).alias("k"))
+        out = lab if out is None else out.unionByName(lab)
+        k += 1
+    if out is None:
+        return base.select("src", "dst", F.lit(2).alias("truss"))
+    mx = out.groupBy("src", "dst").agg(F.max("k").alias("mk"))
+    return base.join(mx, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("mk", F.lit(2)).alias("truss")
+    )

@@ -290,3 +290,11 @@ def test_cli_round5f_ops(spark, tmp_path):
     dfr = spark.read.parquet(str(out_r))
     assert set(dfr.columns) == {"k", "n_nodes", "n_edges", "phi"}
     assert dfr.filter("k = 0").count() == 1
+
+
+def test_cli_truss_number(spark, tmp_path):
+    out = tmp_path / "truss"
+    main(["truss-number", "--docs", SF, "--output", str(out), "--rounds", "4"])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"src", "dst", "truss"}
+    assert df.filter("truss < 2").count() == 0

@@ -260,3 +260,75 @@ class TestRichClub:
         # clique, phi = 1 everywhere
         assert {r["k"] for r in rows} == {0, 1, 2, 3}
         assert all(r["phi"] == pytest.approx(1.0, abs=1e-12) for r in rows)
+
+
+class TestTrussNumber:
+    @staticmethod
+    def _brute_truss(pairs):
+        """Reference peel: trussness per canonical edge, python fixpoint."""
+        edges = {(min(a, b), max(a, b)) for a, b in pairs}
+        truss = {e: 2 for e in edges}
+        cur = set(edges)
+        k = 3
+        while cur:
+            changed = True
+            while changed:
+                nbrs = {}
+                for a, b in cur:
+                    nbrs.setdefault(a, set()).add(b)
+                    nbrs.setdefault(b, set()).add(a)
+                drop = {
+                    (a, b)
+                    for a, b in cur
+                    if len(nbrs[a] & nbrs[b]) < k - 2
+                }
+                changed = bool(drop)
+                cur -= drop
+            for e in cur:
+                truss[e] = k
+            k += 1
+        return truss
+
+    def test_matches_bruteforce_random(self, spark):
+        rng = random.Random(11)
+        nodes = list(range(18))
+        pairs = set()
+        while len(pairs) < 50:
+            a, b = rng.sample(nodes, 2)
+            pairs.add((min(a, b), max(a, b)))
+        from graphriccicurvature_spark.operators.linkgraph import truss_number
+
+        got = {
+            (r["src"], r["dst"]): r["truss"]
+            for r in truss_number(_edges_df(spark, sorted(pairs))).collect()
+        }
+        assert got == self._brute_truss(pairs)
+
+    def test_clique_and_pendant(self, spark):
+        from graphriccicurvature_spark.operators.linkgraph import truss_number
+
+        # K4 on {0..3} (every edge support 2 -> truss 4) + pendant 3-4
+        pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 4)]
+        got = {
+            (r["src"], r["dst"]): r["truss"]
+            for r in truss_number(_edges_df(spark, pairs)).collect()
+        }
+        assert got[(3, 4)] == 2
+        assert all(v == 4 for e, v in got.items() if e != (3, 4))
+
+    def test_bounded_rounds_matches_fixpoint_when_deep_enough(self, spark):
+        from graphriccicurvature_spark.operators.linkgraph import truss_number
+
+        # chain of triangles: peeling cascades, needs >1 round per k
+        pairs = [(i, i + 1) for i in range(6)] + [(i, i + 2) for i in range(5)]
+        fix = {
+            (r["src"], r["dst"]): r["truss"]
+            for r in truss_number(_edges_df(spark, pairs)).collect()
+        }
+        bnd = {
+            (r["src"], r["dst"]): r["truss"]
+            for r in truss_number(
+                _edges_df(spark, pairs), max_k=5, rounds=8
+            ).collect()
+        }
+        assert fix == bnd == self._brute_truss(pairs)
