@@ -1440,6 +1440,20 @@ def _q_unigram_kl(spark, sf):
     )
 
 
+def _q_doc_perplexity(spark, sf):
+    """Per-document cross-entropy + perplexity under the corpus unigram
+    MLE LM — the CCNet-style perplexity-filter signal, self-contained."""
+    from graphriccicurvature_spark.operators.textstats import doc_perplexity
+
+    t = doc_perplexity(_docs(spark, sf))
+    return t.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
 def _q_bib_coupling(spark, sf):
     """Bibliographic coupling pairs (sources sharing >= 2 out-link
     targets, in-degree-capped targets) — the out-link mirror of
@@ -1584,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bib_coupling": _q_bib_coupling,
         "rich_club": _q_rich_club,
         "truss_number": _q_truss_number,
+        "doc_perplexity": _q_doc_perplexity,
     }
 
 
@@ -3852,6 +3867,24 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         LEFT JOIN doclen ON doclen.id = d.doc_id
         LEFT JOIN kl ON kl.id = d.doc_id
+    """
+    sql["doc_perplexity"] = f"""
+        WITH {_TOKS},
+        term AS (SELECT doc_id AS id, unnest(t) AS term FROM toks),
+        tf AS (SELECT id, term, count(*) AS tf FROM term GROUP BY id, term),
+        marg AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct FROM tf GROUP BY term),
+        tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS n_total FROM marg),
+        ce AS (
+            SELECT tf.id, CAST(sum(tf.tf) AS BIGINT) AS dl,
+                   sum(-tf.tf * ln(marg.ct / tot.n_total)) / sum(tf.tf)
+                       AS cross_entropy
+            FROM tf JOIN marg USING (term) CROSS JOIN tot
+            GROUP BY tf.id
+        )
+        SELECT d.doc_id, CAST(coalesce(ce.dl, 0) AS BIGINT) AS n_tokens,
+               round(ce.cross_entropy, 6) AS cross_entropy,
+               round(exp(ce.cross_entropy), 6) AS ppl
+        FROM documents d LEFT JOIN ce ON ce.id = d.doc_id
     """
     sql["bib_coupling"] = f"""
         WITH {_E},

@@ -507,6 +507,10 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.textstats import unigram_kl
 
         return unigram_kl(_load_docs(spark, args))
+    if op == "perplexity":
+        from .operators.textstats import doc_perplexity
+
+        return doc_perplexity(_load_docs(spark, args))
     if op == "bib-coupling":
         from .operators.linkgraph import bib_coupling
 
@@ -535,7 +539,7 @@ OPS = (
     "condensation topo-levels eigenvector betweenness tfidf pii-redact "
     "pack anchor-stats sessions embeddedness contamination "
     "minhash-contamination spam-mass core-number bm25 pmi unigram-kl "
-    "bib-coupling rich-club truss-number"
+    "bib-coupling rich-club truss-number perplexity"
 ).split()
 
 

@@ -765,3 +765,57 @@ def unigram_kl(
         .join(kl, "id", "left")
         .select("id", F.coalesce("dl", F.lit(0)).alias("n_tokens"), "kl")
     )
+
+
+def doc_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy and perplexity under the corpus unigram
+    MLE language model:
+
+        ce(d) = -(1/|d|) * sum_t tf_d(t) * ln(ct(t) / n_total)
+        ppl(d) = exp(ce(d))
+
+    The classic perplexity-filter signal of LLM data curation (CCNet /
+    Wenzek et al. 2020 rank documents by LM perplexity; the corpus-MLE
+    unigram model is its self-contained form — no external model, every
+    doc term has corpus support so ce is finite). High ppl = rare-token
+    outliers (gibberish, codes); LOW ppl = repetitive boilerplate. Empty
+    documents get NULLs. Returns ``(id, n_tokens, cross_entropy, ppl)``.
+
+    Same two-exchange shape as :func:`unigram_kl`: one (doc, term)
+    count, a broadcast join against the term marginal, one per-doc sum.
+    Pure codegen; ln()/exp() replay exactly in DuckDB.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    marg = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = marg.agg(F.sum("ct").alias("n_total"))
+    ce = (
+        tf.join(F.broadcast(marg), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            "tf",
+            (-F.col("tf") * F.log(F.col("ct") / F.col("n_total"))).alias("nll"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("dl"),
+            (F.sum("nll") / F.sum("tf")).alias("cross_entropy"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(ce, "id", "left")
+        .select(
+            "id",
+            F.coalesce("dl", F.lit(0)).alias("n_tokens"),
+            "cross_entropy",
+            F.exp("cross_entropy").alias("ppl"),
+        )
+    )

@@ -332,3 +332,33 @@ class TestTrussNumber:
             ).collect()
         }
         assert fix == bnd == self._brute_truss(pairs)
+
+
+class TestDocPerplexity:
+    def test_matches_python(self, spark):
+        from graphriccicurvature_spark.operators.textstats import doc_perplexity
+
+        got = {
+            r["id"]: (r["n_tokens"], r["cross_entropy"], r["ppl"])
+            for r in doc_perplexity(_docs_df(spark)).collect()
+        }
+        toks = {i: _tokenize(t) for i, t in DOCS}
+        marg = Counter(t for ts in toks.values() for t in ts)
+        total = sum(marg.values())
+        assert set(got) == {i for i, _ in DOCS}
+        for i, ts in toks.items():
+            if not ts:
+                assert got[i] == (0, None, None)
+                continue
+            ce = -sum(math.log(marg[t] / total) for t in ts) / len(ts)
+            assert got[i][0] == len(ts)
+            assert got[i][1] == pytest.approx(ce, abs=1e-9)
+            assert got[i][2] == pytest.approx(math.exp(ce), abs=1e-9)
+
+    def test_uniform_corpus_ppl_equals_vocab_size(self, spark):
+        from graphriccicurvature_spark.operators.textstats import doc_perplexity
+
+        # every token equally frequent -> q(t) = 1/V -> ppl = V exactly
+        docs = [(0, "a b c d"), (1, "d c b a")]
+        rows = doc_perplexity(_docs_df(spark, docs)).collect()
+        assert all(r["ppl"] == pytest.approx(4.0, abs=1e-9) for r in rows)
