@@ -1454,6 +1454,46 @@ def _q_doc_perplexity(spark, sf):
     )
 
 
+def _q_transitivity(spark, sf):
+    """Global clustering coefficient 3T/W — the one-number triadic-closure
+    summary (nx.transitivity semantics) from the degree-ordered triangle
+    join plus a degree aggregate."""
+    from graphriccicurvature_spark.operators.triangles import transitivity
+
+    t = transitivity(edges_from_documents(spark, sf))
+    return t.select(
+        "n_triangles", "n_wedges", F.round("transitivity", 6).alias("transitivity")
+    )
+
+
+def _q_degree_powerlaw(spark, sf):
+    """Clauset-Shalizi-Newman discrete power-law exponent MLE over the
+    degree tail (d >= 2) — the heavy-tail summary of a web link graph."""
+    from graphriccicurvature_spark.operators.degrees import degree_powerlaw
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    t = degree_powerlaw(und, dmin=2)
+    return t.select("dmin", "n_tail", F.round("alpha", 6).alias("alpha"))
+
+
+def _q_minhash_keep_best(spark, sf):
+    """Quality-preferring survivor selection over md5-twin MinHash near-dup
+    clusters (RefinedWeb keeps the best page of a dup group, not the
+    lowest id) — cluster assignment AND the argmax(quality) re-selection
+    both replay exactly in the DuckDB oracle."""
+    from graphriccicurvature_spark.operators.dedup import (
+        keep_best_survivors,
+        minhash_md5_dedup,
+    )
+
+    docs = _docs(spark, sf)
+    clusters = minhash_md5_dedup(docs)
+    t = keep_best_survivors(docs, clusters)
+    return t.select(
+        "doc_id", "cluster", "is_survivor", F.round("quality", 6).alias("quality")
+    )
+
+
 def _q_bib_coupling(spark, sf):
     """Bibliographic coupling pairs (sources sharing >= 2 out-link
     targets, in-degree-capped targets) — the out-link mirror of
@@ -1599,6 +1639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "truss_number": _q_truss_number,
         "doc_perplexity": _q_doc_perplexity,
+        "transitivity": _q_transitivity,
+        "degree_powerlaw": _q_degree_powerlaw,
+        "minhash_keep_best": _q_minhash_keep_best,
     }
 
 
@@ -3984,4 +4027,117 @@ def oracle_sql() -> dict[str, str]:
         + """) t ON t.src = u.src AND t.dst = u.dst
               GROUP BY u.src, u.dst"""
     )
+    sql["transitivity"] = f"""
+        WITH {_E}, {_UND},
+        tri AS (
+            SELECT count(*) AS t
+            FROM und e1
+            JOIN und e2 ON e2.src = e1.src AND e2.dst > e1.dst
+            JOIN und e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        ),
+        wed AS (
+            SELECT coalesce(CAST(sum(degree * (degree - 1) // 2) AS BIGINT), 0) AS w
+            FROM deg
+        )
+        SELECT CAST(t AS BIGINT) AS n_triangles, w AS n_wedges,
+               round(CASE WHEN w > 0 THEN 3.0 * t / w ELSE 0.0 END, 6)
+                   AS transitivity
+        FROM tri CROSS JOIN wed
+    """
+    sql["degree_powerlaw"] = f"""
+        WITH {_E}, {_UND},
+        tail AS (SELECT degree FROM deg WHERE degree >= 2)
+        SELECT 2 AS dmin, count(*) AS n_tail,
+               round(1.0 + count(*) / sum(ln(degree / 1.5)), 6) AS alpha
+        FROM tail
+    """
+    sql["minhash_keep_best"] = f"""
+        WITH RECURSIVE {_TOKS},
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3
+                        THEN list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+                        ELSE []::VARCHAR[] END AS shset
+            FROM toks
+        ),
+        shs AS (SELECT doc_id, shset FROM sh WHERE len(shset) > 0),
+        sigs AS (
+            SELECT doc_id,
+                   [list_min(list_transform(shset, s -> md5(CAST(p AS VARCHAR) || ':' || s)))
+                    FOR p IN range(0, 8)] AS sig
+            FROM shs
+        ),
+        bu AS (
+            SELECT doc_id,
+                   unnest([md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*2+1 : b*2+2], ','))
+                           FOR b IN range(0, 4)]) AS bucket
+            FROM sigs
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bu x JOIN bu y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ),
+        ver AS (
+            SELECT a, b FROM cand
+            JOIN shs sa ON sa.doc_id = a
+            JOIN shs sb ON sb.doc_id = b
+            WHERE len(list_distinct(sa.shset || sb.shset)) > 0
+              AND CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+                  / len(list_distinct(sa.shset || sb.shset)) >= 0.8
+        ),
+        mnodes AS (SELECT doc_id AS node FROM documents),
+        symself AS (
+            SELECT a AS src, b AS dst FROM ver
+            UNION SELECT b AS src, a AS dst FROM ver
+            UNION SELECT node AS src, node AS dst FROM mnodes
+        ),
+        lab(iter, node, label) AS (
+            SELECT 0, node, node FROM mnodes
+            UNION ALL
+            SELECT l.iter + 1, s.dst AS node, min(l.label) AS label
+            FROM lab l JOIN symself s ON s.src = l.node
+            WHERE l.iter < 40
+            GROUP BY l.iter, s.dst
+        ),
+        clus AS (SELECT node AS doc_id, label AS cluster FROM lab WHERE iter = 40),
+        qraw AS (
+            SELECT doc_id, text,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+            FROM documents
+        ),
+        qf AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS DOUBLE) AS n_tok,
+                   CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_intersect(list_distinct(toks), {stop_en})) AS DOUBLE)
+                             / len(toks)
+                        ELSE 0.0 END AS stopword_ratio
+            FROM qraw
+        ),
+        q AS (
+            SELECT doc_id,
+                   0.4 * least(n_tok / 64.0, 1.0)
+                   + 0.3 * alpha_ratio
+                   + 0.2 * (1.0 - least(punct_ratio * 10, 1.0))
+                   + 0.1 * least(stopword_ratio * 5, 1.0) AS quality
+            FROM qf
+        ),
+        r AS (
+            SELECT c.doc_id, c.cluster, q.quality,
+                   row_number() OVER (
+                       PARTITION BY c.cluster
+                       ORDER BY q.quality DESC, c.doc_id ASC
+                   ) AS rn
+            FROM clus c JOIN q ON q.doc_id = c.doc_id
+        )
+        SELECT doc_id, cluster, rn = 1 AS is_survivor,
+               round(quality, 6) AS quality
+        FROM r
+    """
     return sql

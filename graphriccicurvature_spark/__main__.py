@@ -525,6 +525,21 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .sources.edges import canonicalize
 
         return truss_number(canonicalize(_load_edges(spark, args)), rounds=args.rounds)
+    if op == "transitivity":
+        from .operators.triangles import transitivity
+
+        return transitivity(_load_edges(spark, args))
+    if op == "powerlaw":
+        from .operators.degrees import degree_powerlaw
+        from .sources.edges import canonicalize
+
+        # --k doubles as the degree-tail cutoff dmin here (default 3)
+        return degree_powerlaw(canonicalize(_load_edges(spark, args)), dmin=args.k)
+    if op == "keep-best":
+        from .operators.dedup import keep_best_survivors, minhash_dedup
+
+        docs = _load_docs(spark, args)
+        return keep_best_survivors(docs, minhash_dedup(docs))
     sys.exit(f"unknown op {op!r}")
 
 
@@ -539,7 +554,8 @@ OPS = (
     "condensation topo-levels eigenvector betweenness tfidf pii-redact "
     "pack anchor-stats sessions embeddedness contamination "
     "minhash-contamination spam-mass core-number bm25 pmi unigram-kl "
-    "bib-coupling rich-club truss-number perplexity"
+    "bib-coupling rich-club truss-number perplexity transitivity powerlaw "
+    "keep-best"
 ).split()
 
 

@@ -502,3 +502,41 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def keep_best_survivors(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-preferring survivor re-selection over near-dup clusters.
+
+    Production dedup keeps the BEST member of each cluster, not the
+    smallest id (RefinedWeb / FineWeb keep the highest-quality page of a
+    near-dup group). Given ``clusters`` = (id, cluster[, ...]) from any
+    dedup pipeline (:func:`minhash_dedup`, :func:`minhash_md5_dedup`),
+    re-score members with :func:`~.textstats.quality_score` and mark
+    ``argmax (quality, lowest id breaks ties)`` per cluster as survivor.
+    Returns ``(id, cluster, is_survivor, quality)``.
+
+    Scale: one broadcast-sized shuffle keyed by cluster id; the quality
+    features are row-local codegen, the per-cluster ranking is a window
+    over groups whose size is bounded by the dedup pipeline's own cluster
+    caps. Deterministic: quality is pure IEEE +,*,/,least column math, so
+    the ordering replays bit-for-bit in the DuckDB oracle.
+    """
+    from .textstats import quality_score
+
+    q = quality_score(df, text_col).select(F.col(id_col).alias("id"), "quality")
+    j = clusters.select(F.col(id_col).alias("id"), "cluster").join(q, "id")
+    w = Window.partitionBy("cluster").orderBy(F.desc("quality"), F.asc("id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            (F.col("rn") == 1).alias("is_survivor"),
+            "quality",
+        )
+    )

@@ -60,6 +60,38 @@ def triangle_count_global(edges: DataFrame) -> DataFrame:
     return triangles(edges).agg(F.count("*").alias("n_triangles"))
 
 
+def transitivity(edges: DataFrame) -> DataFrame:
+    """Global clustering coefficient (transitivity): ``3*T / W`` where
+    ``T`` is the triangle count and ``W = sum_v d(v)*(d(v)-1)/2`` the
+    wedge (open-triad) count — ``nx.transitivity`` semantics. One row
+    ``(n_triangles, n_wedges, transitivity)``; 0.0 on a wedge-free graph.
+
+    Scale: the degree-ordered triangle join (per-key fan-out O(sqrt(m)))
+    plus one map-side-combinable degree aggregate; both sides collapse to
+    a single row before the broadcast cross join, so nothing here grows
+    with |E|. d*(d-1) is always even, so the per-node integer halving is
+    exact.
+    """
+    und = canonicalize(edges)
+    deg = degree_table(und).select("node", "degree")
+    wed = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("degree * (degree - 1) div 2")), F.lit(0)
+        ).alias("n_wedges")
+    )
+    tri = triangle_count_global(edges)
+    return tri.crossJoin(F.broadcast(wed)).select(
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("transitivity"),
+    )
+
+
 def edge_embeddedness(edges: DataFrame) -> DataFrame:
     """Per-edge embeddedness: ``common_neighbors`` = |N(u) ∩ N(v)| (the
     number of triangles through the edge) and ``jaccard`` = the

@@ -298,3 +298,39 @@ def test_cli_truss_number(spark, tmp_path):
     df = spark.read.parquet(str(out))
     assert set(df.columns) == {"src", "dst", "truss"}
     assert df.filter("truss < 2").count() == 0
+
+
+def test_cli_round5g_ops(spark, tmp_path):
+    out_t = tmp_path / "trans"
+    main(["transitivity", "--docs", SF, "--output", str(out_t)])
+    dft = spark.read.parquet(str(out_t))
+    assert set(dft.columns) == {"n_triangles", "n_wedges", "transitivity"}
+    assert dft.count() == 1
+
+    out_p = tmp_path / "plaw"
+    main(["powerlaw", "--docs", SF, "--output", str(out_p), "--k", "2"])
+    dfp = spark.read.parquet(str(out_p))
+    row = dfp.collect()[0]
+    assert row["dmin"] == 2 and row["n_tail"] > 0 and row["alpha"] > 1.0
+
+    out_b = tmp_path / "best"
+    main(["keep-best", "--docs", SF, "--output", str(out_b)])
+    dfb = spark.read.parquet(str(out_b))
+    assert set(dfb.columns) == {"doc_id", "cluster", "is_survivor", "quality"}
+    # exactly one survivor per cluster
+    bad = (
+        dfb.selectExpr("cluster", "cast(is_survivor as int) AS s")
+        .groupBy("cluster")
+        .sum("s")
+        .filter("`sum(s)` <> 1")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cli_perplexity(spark, tmp_path):
+    out = tmp_path / "ppl"
+    main(["perplexity", "--docs", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"id", "n_tokens", "cross_entropy", "ppl"}
+    assert df.filter("n_tokens > 0 and ppl < 1.0").count() == 0

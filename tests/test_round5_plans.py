@@ -119,3 +119,58 @@ def test_rich_club_histogram_windows_no_python(spark):
     # the suffix-sum windows run on histogram rows; exactly one Window
     # operator (both cumulative sums share the frame)
     assert p.count("Window") == 1, p
+
+
+def test_doc_perplexity_no_python_broadcast_marginal(spark):
+    from graphriccicurvature_spark.operators.textstats import doc_perplexity
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x y z "), F.col("id") % 5).alias("text"),
+    )
+    p = _plan(doc_perplexity(df))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_transitivity_no_python_broadcast_scalar(spark):
+    from graphriccicurvature_spark.operators.triangles import transitivity
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    p = _plan(transitivity(e))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # the wedge scalar joins the triangle scalar via a broadcast nested
+    # loop of two 1-row sides, never a shuffled cross product
+    assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_degree_powerlaw_single_aggregate_no_python(spark):
+    from graphriccicurvature_spark.operators.degrees import degree_powerlaw
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)],
+        "src long, dst long, weight double",
+    )
+    p = _plan(degree_powerlaw(e))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # degree groupBy + the global tail aggregate: two exchanges total
+    # (hash by node, then the single-partition final agg)
+    assert p.count("Exchange") <= 2, p
+
+
+def test_keep_best_window_no_python(spark):
+    from graphriccicurvature_spark.operators.dedup import keep_best_survivors
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c d")], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0)], "doc_id long, cluster long"
+    )
+    p = _plan(keep_best_survivors(docs, clusters))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # quality features are row-local codegen; one window by cluster
+    assert p.count("Window") == 1, p

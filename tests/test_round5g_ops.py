@@ -1,0 +1,152 @@
+"""Round-5g operators: global transitivity, degree power-law exponent
+MLE, quality-preferring dedup survivor selection, and the corpus-unigram
+perplexity already pinned in test_round5f_ops.
+
+Transitivity is pinned against ``nx.transitivity`` on random graphs,
+the power-law alpha against a from-scratch Clauset-Shalizi-Newman MLE,
+and keep-best survivors against a brute-force per-cluster argmax.
+Driver-level DuckDB value oracles: `transitivity`, `degree_powerlaw`,
+`minhash_keep_best`.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import networkx as nx
+import pytest
+
+from graphriccicurvature_spark.operators.degrees import degree_powerlaw
+from graphriccicurvature_spark.operators.triangles import transitivity
+
+from tests.test_round5_webgraph import _edges_df
+
+
+def _random_graph(seed, n=40, p=0.12):
+    rng = random.Random(seed)
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    for u in range(n):
+        for v in range(u + 1, n):
+            if rng.random() < p:
+                g.add_edge(u, v)
+    return g
+
+
+class TestTransitivity:
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_matches_networkx(self, spark, seed):
+        g = _random_graph(seed)
+        row = transitivity(_edges_df(spark, list(g.edges()))).collect()[0]
+        tri = sum(nx.triangles(g).values()) // 3
+        wed = sum(d * (d - 1) // 2 for _, d in g.degree())
+        assert row["n_triangles"] == tri
+        assert row["n_wedges"] == wed
+        assert row["transitivity"] == pytest.approx(
+            nx.transitivity(g), abs=1e-12
+        )
+
+    def test_wedge_free_graph_is_zero(self, spark):
+        # perfect matching: every degree is 1, no wedges at all
+        row = transitivity(_edges_df(spark, [(0, 1), (2, 3)])).collect()[0]
+        assert (row["n_triangles"], row["n_wedges"], row["transitivity"]) == (
+            0,
+            0,
+            0.0,
+        )
+
+
+class TestDegreePowerlaw:
+    @pytest.mark.parametrize("dmin", [2, 3])
+    def test_matches_formula(self, spark, dmin):
+        g = _random_graph(7, n=60, p=0.08)
+        row = degree_powerlaw(_edges_df(spark, list(g.edges())), dmin=dmin).collect()[0]
+        tail = [d for _, d in g.degree() if d >= dmin]
+        alpha = 1.0 + len(tail) / sum(math.log(d / (dmin - 0.5)) for d in tail)
+        assert row["dmin"] == dmin
+        assert row["n_tail"] == len(tail)
+        assert row["alpha"] == pytest.approx(alpha, abs=1e-9)
+
+    def test_empty_tail_gives_null_alpha(self, spark):
+        row = degree_powerlaw(
+            _edges_df(spark, [(0, 1), (2, 3)]), dmin=5
+        ).collect()[0]
+        assert (row["n_tail"], row["alpha"]) == (0, None)
+
+    def test_rejects_bad_dmin(self, spark):
+        with pytest.raises(ValueError):
+            degree_powerlaw(_edges_df(spark, [(0, 1)]), dmin=0)
+
+
+class TestKeepBestSurvivors:
+    def test_survivor_is_quality_argmax_not_min_id(self, spark):
+        from graphriccicurvature_spark.operators.dedup import keep_best_survivors
+        from graphriccicurvature_spark.operators.textstats import quality_score
+
+        # doc 1 is a longer, higher-quality variant of doc 0's cluster;
+        # doc 2 is a singleton
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma"),
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "totally unrelated text here"),
+            ],
+            "doc_id long, text string",
+        )
+        clusters = spark.createDataFrame(
+            [(0, 0), (1, 0), (2, 2)], "doc_id long, cluster long"
+        )
+        got = {
+            r["doc_id"]: (r["cluster"], r["is_survivor"], r["quality"])
+            for r in keep_best_survivors(docs, clusters).collect()
+        }
+        q = {
+            r["doc_id"]: r["quality"]
+            for r in quality_score(docs).select("doc_id", "quality").collect()
+        }
+        assert q[1] > q[0]  # longer doc scores higher on the length band
+        assert got[0] == (0, False, q[0])
+        assert got[1] == (0, True, q[1])
+        assert got[2] == (2, True, q[2])
+
+    def test_exactly_one_survivor_per_cluster_tie_breaks_min_id(self, spark):
+        from graphriccicurvature_spark.operators.dedup import keep_best_survivors
+
+        # identical texts -> identical quality -> min id wins the tie
+        docs = spark.createDataFrame(
+            [(5, "same text twin"), (3, "same text twin"), (9, "other")],
+            "doc_id long, text string",
+        )
+        clusters = spark.createDataFrame(
+            [(5, 3), (3, 3), (9, 9)], "doc_id long, cluster long"
+        )
+        rows = keep_best_survivors(docs, clusters).collect()
+        surv = {r["cluster"]: r["doc_id"] for r in rows if r["is_survivor"]}
+        assert surv == {3: 3, 9: 9}
+        assert sum(r["is_survivor"] for r in rows) == 2
+
+    def test_composes_with_minhash_pipeline(self, spark):
+        from graphriccicurvature_spark.operators.dedup import (
+            keep_best_survivors,
+            minhash_dedup,
+        )
+
+        base = "spark shuffle partition join broadcast skew salt window " * 3
+        docs = spark.createDataFrame(
+            [
+                (0, base),
+                (1, base + "extra tail tokens improve the quality band score"),
+                (2, "completely different little doc"),
+            ],
+            "doc_id long, text string",
+        )
+        clusters = minhash_dedup(docs, jaccard_threshold=0.5)
+        got = {
+            r["doc_id"]: (r["cluster"], r["is_survivor"])
+            for r in keep_best_survivors(docs, clusters).collect()
+        }
+        # 0 and 1 are near-dups -> one cluster; 1 is the better doc
+        assert got[0][0] == got[1][0]
+        assert got[1][1] and not got[0][1]
+        assert got[2][1]
