@@ -1494,6 +1494,21 @@ def _q_minhash_keep_best(spark, sf):
     )
 
 
+_MST_ROUNDS = 10
+
+
+def _q_mst_forest(spark, sf):
+    """Borůvka minimum spanning forest (10 unrolled rounds — past this
+    graph's fixpoint) under the deterministic (weight, src, dst) total
+    order; the oracle unrolls the identical round chain."""
+    from graphriccicurvature_spark.operators.spanning import minimum_spanning_forest
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return minimum_spanning_forest(und, rounds=_MST_ROUNDS).select(
+        "src", "dst", "weight"
+    )
+
+
 def _q_bib_coupling(spark, sf):
     """Bibliographic coupling pairs (sources sharing >= 2 out-link
     targets, in-degree-capped targets) — the out-link mirror of
@@ -1642,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": _q_transitivity,
         "degree_powerlaw": _q_degree_powerlaw,
         "minhash_keep_best": _q_minhash_keep_best,
+        "mst_forest": _q_mst_forest,
     }
 
 
@@ -4140,4 +4156,71 @@ def oracle_sql() -> dict[str, str]:
                round(quality, 6) AS quality
         FROM r
     """
+    # Borůvka MST: _MST_ROUNDS unrolled rounds; per round a bounded
+    # min-label propagation (64 iters, >= any forest diameter this graph
+    # can produce at sf<=0.01) replays the Spark side's exact CC labels.
+    # every multiply-referenced CTE is MATERIALIZED: without the hint
+    # DuckDB inlines per reference and the forest{r-1} -> forest{r} chain
+    # re-expands the base parquet scan exponentially in rounds ("too many
+    # open files" before it even gets slow)
+    mst_iters = 64
+    mst_ctes = [
+        "eu AS MATERIALIZED (SELECT src, dst, weight FROM und)",
+        "mnodes AS MATERIALIZED (SELECT src AS node FROM eu UNION SELECT dst FROM eu)",
+        "lab0 AS (SELECT node, node AS component FROM mnodes)",
+        "forest0 AS (SELECT src, dst, weight FROM eu WHERE FALSE)",
+    ]
+    for r in range(1, _MST_ROUNDS + 1):
+        mst_ctes.append(
+            f"""cx{r} AS MATERIALIZED (
+            SELECT e.src, e.dst, e.weight, la.component AS cu, lb.component AS cv
+            FROM eu e
+            JOIN lab{r - 1} la ON la.node = e.src
+            JOIN lab{r - 1} lb ON lb.node = e.dst
+            WHERE la.component <> lb.component
+        )"""
+        )
+        mst_ctes.append(
+            f"""chosen{r} AS (
+            SELECT DISTINCT src, dst, weight FROM (
+                SELECT comp, src, dst, weight,
+                       row_number() OVER (
+                           PARTITION BY comp ORDER BY weight, src, dst
+                       ) AS rn
+                FROM (
+                    SELECT cu AS comp, src, dst, weight FROM cx{r}
+                    UNION ALL
+                    SELECT cv AS comp, src, dst, weight FROM cx{r}
+                )
+            ) WHERE rn = 1
+        )"""
+        )
+        mst_ctes.append(
+            f"forest{r} AS MATERIALIZED (SELECT * FROM forest{r - 1} UNION SELECT * FROM chosen{r})"
+        )
+        mst_ctes.append(
+            f"""fsym{r} AS MATERIALIZED (
+            SELECT src, dst FROM forest{r}
+            UNION SELECT dst AS src, src AS dst FROM forest{r}
+            UNION SELECT node AS src, node AS dst FROM mnodes
+        )"""
+        )
+        mst_ctes.append(
+            f"""labrec{r}(iter, node, component) AS (
+            SELECT 0, node, node FROM mnodes
+            UNION ALL
+            SELECT l.iter + 1, s.dst AS node, min(l.component) AS component
+            FROM labrec{r} l JOIN fsym{r} s ON s.src = l.node
+            WHERE l.iter < {mst_iters}
+            GROUP BY l.iter, s.dst
+        )"""
+        )
+        mst_ctes.append(
+            f"lab{r} AS MATERIALIZED (SELECT node, component FROM labrec{r} WHERE iter = {mst_iters})"
+        )
+    sql["mst_forest"] = (
+        f"WITH RECURSIVE {_E}, {_UND}, "
+        + ", ".join(mst_ctes)
+        + f" SELECT src, dst, weight FROM forest{_MST_ROUNDS}"
+    )
     return sql

@@ -540,6 +540,10 @@ def run_op(spark: SparkSession, args) -> DataFrame:
 
         docs = _load_docs(spark, args)
         return keep_best_survivors(docs, minhash_dedup(docs))
+    if op == "mst":
+        from .operators.spanning import minimum_spanning_forest
+
+        return minimum_spanning_forest(_load_edges(spark, args), rounds=args.rounds)
     sys.exit(f"unknown op {op!r}")
 
 
@@ -555,7 +559,7 @@ OPS = (
     "pack anchor-stats sessions embeddedness contamination "
     "minhash-contamination spam-mass core-number bm25 pmi unigram-kl "
     "bib-coupling rich-club truss-number perplexity transitivity powerlaw "
-    "keep-best"
+    "keep-best mst"
 ).split()
 
 

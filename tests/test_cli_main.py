@@ -334,3 +334,13 @@ def test_cli_perplexity(spark, tmp_path):
     df = spark.read.parquet(str(out))
     assert set(df.columns) == {"id", "n_tokens", "cross_entropy", "ppl"}
     assert df.filter("n_tokens > 0 and ppl < 1.0").count() == 0
+
+
+def test_cli_mst(spark, tmp_path):
+    out = tmp_path / "mst"
+    main(["mst", "--docs", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"src", "dst", "weight"}
+    # a spanning forest has |V| - |components| edges: strictly fewer
+    # rows than nodes, and no duplicate canonical edges
+    assert df.count() == df.select("src", "dst").distinct().count()

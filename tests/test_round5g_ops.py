@@ -150,3 +150,73 @@ class TestKeepBestSurvivors:
         assert got[0][0] == got[1][0]
         assert got[1][1] and not got[0][1]
         assert got[2][1]
+
+
+def _kruskal(edges):
+    """Brute Kruskal under the (weight, src, dst) total order — the exact
+    semantics minimum_spanning_forest promises on ties."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for w, u, v in sorted((w, min(u, v), max(u, v)) for u, v, w in edges):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+            out.add((u, v, w))
+    return out
+
+
+class TestMinimumSpanningForest:
+    def _spark_msf(self, spark, edges, **kw):
+        from graphriccicurvature_spark.operators.spanning import (
+            minimum_spanning_forest,
+        )
+
+        df = spark.createDataFrame(
+            [(int(u), int(v), float(w)) for u, v, w in edges],
+            "src long, dst long, weight double",
+        )
+        return {
+            (min(r.src, r.dst), max(r.src, r.dst), r.weight)
+            for r in minimum_spanning_forest(df, **kw).collect()
+        }
+
+    @pytest.mark.parametrize("seed", [1, 5])
+    def test_matches_networkx_distinct_weights(self, spark, seed):
+        rng = random.Random(seed)
+        g = _random_graph(seed, n=35, p=0.12)
+        ws = list(range(1, g.number_of_edges() + 1))
+        rng.shuffle(ws)
+        edges = [
+            (u, v, float(w)) for (u, v), w in zip(sorted(g.edges()), ws)
+        ]
+        for u, v, w in edges:
+            g[u][v]["weight"] = w
+        exp = {
+            (min(u, v), max(u, v), float(d["weight"]))
+            for u, v, d in nx.minimum_spanning_edges(g, data=True)
+        }
+        assert self._spark_msf(spark, edges) == exp
+
+    def test_constant_weights_tie_break_matches_kruskal(self, spark):
+        g = _random_graph(9, n=25, p=0.15)
+        edges = [(u, v, 1.0) for u, v in g.edges()]
+        assert self._spark_msf(spark, edges) == _kruskal(edges)
+
+    def test_bounded_rounds_equal_fixpoint(self, spark):
+        g = _random_graph(3, n=30, p=0.1)
+        edges = [(u, v, 1.0) for u, v in g.edges()]
+        assert self._spark_msf(spark, edges, rounds=8) == self._spark_msf(
+            spark, edges
+        )
+
+    def test_forest_spans_multiple_components(self, spark):
+        edges = [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 3.0), (10, 11, 5.0)]
+        got = self._spark_msf(spark, edges)
+        assert got == {(0, 1, 2.0), (1, 2, 1.0), (10, 11, 5.0)}
