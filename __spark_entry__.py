@@ -1494,6 +1494,23 @@ def _q_minhash_keep_best(spark, sf):
     )
 
 
+def _q_dsir_en(spark, sf):
+    """DSIR importance-resampling log-likelihood ratios against the
+    lang='en' target subset — the data-selection weight of Xie et al.
+    2023, add-one-smoothed target LM vs corpus MLE."""
+    from graphriccicurvature_spark.operators.textstats import dsir_log_ratio
+
+    docs = _docs(spark, sf)
+    target = docs.filter(F.col("lang") == "en").select("doc_id")
+    t = dsir_log_ratio(docs, target)
+    return t.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("log_ratio", 6).alias("log_ratio"),
+        F.round("avg_log_ratio", 6).alias("avg_log_ratio"),
+    )
+
+
 _MST_ROUNDS = 10
 
 
@@ -1658,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_powerlaw": _q_degree_powerlaw,
         "minhash_keep_best": _q_minhash_keep_best,
         "mst_forest": _q_mst_forest,
+        "dsir_en": _q_dsir_en,
     }
 
 
@@ -4223,4 +4241,37 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(mst_ctes)
         + f" SELECT src, dst, weight FROM forest{_MST_ROUNDS}"
     )
+    sql["dsir_en"] = f"""
+        WITH {_TOKS},
+        term AS (SELECT doc_id AS id, unnest(t) AS term FROM toks),
+        tf AS (SELECT id, term, count(*) AS tf FROM term GROUP BY id, term),
+        mq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct_q FROM tf GROUP BY term),
+        mp AS (
+            SELECT term, CAST(sum(tf) AS BIGINT) AS ct_p FROM tf
+            WHERE id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+            GROUP BY term
+        ),
+        scal AS (
+            SELECT CAST(sum(mq.ct_q) AS DOUBLE) AS n_q,
+                   CAST(coalesce(sum(mp.ct_p), 0) AS DOUBLE) AS n_p,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM mq LEFT JOIN mp USING (term)
+        ),
+        lr AS (
+            SELECT mq.term,
+                   ln((coalesce(mp.ct_p, 0) + 1) / (n_p + v))
+                   - ln(mq.ct_q / n_q) AS lr
+            FROM mq LEFT JOIN mp USING (term) CROSS JOIN scal
+        ),
+        pd AS (
+            SELECT tf.id, CAST(sum(tf.tf) AS BIGINT) AS dl,
+                   sum(tf.tf * lr.lr) AS log_ratio
+            FROM tf JOIN lr ON lr.term = tf.term
+            GROUP BY tf.id
+        )
+        SELECT d.doc_id, CAST(coalesce(pd.dl, 0) AS BIGINT) AS n_tokens,
+               round(pd.log_ratio, 6) AS log_ratio,
+               round(pd.log_ratio / pd.dl, 6) AS avg_log_ratio
+        FROM documents d LEFT JOIN pd ON pd.id = d.doc_id
+    """
     return sql

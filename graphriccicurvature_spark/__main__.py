@@ -544,6 +544,14 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.spanning import minimum_spanning_forest
 
         return minimum_spanning_forest(_load_edges(spark, args), rounds=args.rounds)
+    if op == "dsir":
+        from pyspark.sql import functions as F
+
+        from .operators.textstats import dsir_log_ratio
+
+        docs = _load_docs(spark, args)
+        target = docs.filter(F.col("lang") == args.target_lang).select("doc_id")
+        return dsir_log_ratio(docs, target)
     sys.exit(f"unknown op {op!r}")
 
 
@@ -559,7 +567,7 @@ OPS = (
     "pack anchor-stats sessions embeddedness contamination "
     "minhash-contamination spam-mass core-number bm25 pmi unigram-kl "
     "bib-coupling rich-club truss-number perplexity transitivity powerlaw "
-    "keep-best mst"
+    "keep-best mst dsir"
 ).split()
 
 
@@ -597,6 +605,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--delta", type=float, default=1e-4)
     p.add_argument("--checkpoint-dir", help="flow resume/checkpoint dir")
     p.add_argument("--top-n", type=int, default=100)
+    p.add_argument("--target-lang", default="en",
+                   help="dsir: lang value defining the target subset")
     p.add_argument("--k", type=int, default=3,
                    help="k-core / k-truss threshold; tfidf top-k terms")
     p.add_argument("--budget", type=int, default=2048,

@@ -819,3 +819,86 @@ def doc_perplexity(
             F.exp("cross_entropy").alias("ppl"),
         )
     )
+
+
+def dsir_log_ratio(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): per
+    document, the log-likelihood ratio between a TARGET unigram LM and
+    the corpus unigram LM::
+
+        log_ratio(d)    = sum_t tf_d(t) * (ln p(t) - ln q(t))
+        avg_log_ratio(d)= log_ratio(d) / |d|
+
+    ``q`` is the corpus MLE (every doc term has corpus support, so ln q
+    is finite); ``p`` is the target-subset LM with add-one smoothing over
+    the CORPUS vocabulary, ``p(t) = (ct_target(t)+1) / (n_target + V)``,
+    so target-absent terms get finite mass instead of -inf. Documents
+    with high ``avg_log_ratio`` look like the target domain; sampling
+    proportional to ``exp(log_ratio)`` is the DSIR recipe. ``target`` is
+    a one-column DataFrame of target doc ids (its first column is used).
+    Empty documents get NULL ratios. Returns
+    ``(id, n_tokens, log_ratio, avg_log_ratio)``.
+
+    Scale: one (doc, term) count over the corpus; the term marginal and
+    the target marginal are vocabulary-sized broadcast sides; the three
+    scalars (n_target, n_corpus, V) ride one broadcast row. Same
+    two-exchange shape as :func:`unigram_kl`; pure codegen, ln() replays
+    exactly in DuckDB.
+    """
+    tgt = target.select(F.col(target.columns[0]).alias("id")).distinct()
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    marg_q = tf.groupBy("term").agg(F.sum("tf").alias("ct_q"))
+    marg_p = (
+        tf.join(tgt, "id", "left_semi")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("ct_p"))
+    )
+    scal = (
+        marg_q.join(marg_p, "term", "left")
+        .agg(
+            F.sum("ct_q").alias("n_q"),
+            F.coalesce(F.sum("ct_p"), F.lit(0)).alias("n_p"),
+            F.count(F.lit(1)).alias("v"),
+        )
+    )
+    term_lr = (
+        marg_q.join(marg_p, "term", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "term",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct_p"), F.lit(0)) + F.lit(1))
+                    / (F.col("n_p") + F.col("v"))
+                )
+                - F.log(F.col("ct_q") / F.col("n_q"))
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        tf.join(F.broadcast(term_lr), "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("dl"),
+            F.sum(F.col("tf") * F.col("lr")).alias("log_ratio"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("dl", F.lit(0)).alias("n_tokens"),
+            "log_ratio",
+            (F.col("log_ratio") / F.col("dl")).alias("avg_log_ratio"),
+        )
+    )

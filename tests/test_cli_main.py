@@ -344,3 +344,11 @@ def test_cli_mst(spark, tmp_path):
     # a spanning forest has |V| - |components| edges: strictly fewer
     # rows than nodes, and no duplicate canonical edges
     assert df.count() == df.select("src", "dst").distinct().count()
+
+
+def test_cli_dsir(spark, tmp_path):
+    out = tmp_path / "dsir"
+    main(["dsir", "--docs", SF, "--output", str(out), "--target-lang", "en"])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"id", "n_tokens", "log_ratio", "avg_log_ratio"}
+    assert df.count() == 500

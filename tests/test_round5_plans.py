@@ -174,3 +174,16 @@ def test_keep_best_window_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     # quality features are row-local codegen; one window by cluster
     assert p.count("Window") == 1, p
+
+
+def test_dsir_no_python_broadcast_marginals(spark):
+    from graphriccicurvature_spark.operators.textstats import dsir_log_ratio
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x y z "), F.col("id") % 5).alias("text"),
+    )
+    tgt = spark.range(10).select(F.col("id").alias("doc_id"))
+    p = _plan(dsir_log_ratio(df, tgt))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "BroadcastHashJoin" in p, p

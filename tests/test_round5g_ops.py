@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 import random
+from collections import Counter
 
 import networkx as nx
 import pytest
@@ -220,3 +221,64 @@ class TestMinimumSpanningForest:
         edges = [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 3.0), (10, 11, 5.0)]
         got = self._spark_msf(spark, edges)
         assert got == {(0, 1, 2.0), (1, 2, 1.0), (10, 11, 5.0)}
+
+
+class TestDsirLogRatio:
+    DOCS = [
+        (0, "the fast scan and the merge window"),
+        (1, "merge merge merge scan"),
+        (2, "window scan window"),
+        (3, ""),
+        (4, "hash join order by key"),
+        (5, "the window the window the scan"),
+    ]
+    TARGET = [0, 5]  # the "the ... window"-flavored docs
+
+    def _got(self, spark):
+        from graphriccicurvature_spark.operators.textstats import dsir_log_ratio
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        tgt = spark.createDataFrame([(i,) for i in self.TARGET], "doc_id long")
+        return {
+            r["id"]: (r["n_tokens"], r["log_ratio"], r["avg_log_ratio"])
+            for r in dsir_log_ratio(docs, tgt).collect()
+        }
+
+    def test_matches_python(self, spark):
+        got = self._got(spark)
+        toks = {i: t.split() for i, t in self.DOCS}
+        mq = Counter(t for ts in toks.values() for t in ts)
+        mp = Counter(t for i in self.TARGET for t in toks[i])
+        n_q, n_p, v = sum(mq.values()), sum(mp.values()), len(mq)
+        for i, ts in toks.items():
+            if not ts:
+                assert got[i] == (0, None, None)
+                continue
+            lr = sum(
+                math.log((mp.get(t, 0) + 1) / (n_p + v)) - math.log(mq[t] / n_q)
+                for t in ts
+            )
+            assert got[i][0] == len(ts)
+            assert got[i][1] == pytest.approx(lr, abs=1e-9)
+            assert got[i][2] == pytest.approx(lr / len(ts), abs=1e-9)
+
+    def test_target_docs_score_higher(self, spark):
+        # the defining DSIR property: docs from the target vocabulary get
+        # higher avg log-ratio than docs from a disjoint vocabulary
+        from graphriccicurvature_spark.operators.textstats import dsir_log_ratio
+
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma alpha beta"),
+                (1, "alpha gamma beta beta"),
+                (2, "delta epsilon zeta delta epsilon"),
+                (3, "zeta epsilon delta delta"),
+            ],
+            "doc_id long, text string",
+        )
+        tgt = spark.createDataFrame([(0,), (1,)], "doc_id long")
+        got = {
+            r["id"]: r["avg_log_ratio"]
+            for r in dsir_log_ratio(docs, tgt).collect()
+        }
+        assert min(got[0], got[1]) > max(got[2], got[3])
