@@ -1494,6 +1494,19 @@ def _q_minhash_keep_best(spark, sf):
     )
 
 
+def _q_closeness(spark, sf):
+    """Exact bounded (radius-2) closeness centrality — reached-count over
+    distance-sum within the 2-ball; the oracle materializes the same
+    min-distance pair table."""
+    from graphriccicurvature_spark.operators.linkgraph import closeness_centrality
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    t = closeness_centrality(und, radius=2)
+    return t.select(
+        "node", "n_reached", "sum_dist", F.round("closeness", 6).alias("closeness")
+    )
+
+
 def _q_dsir_en(spark, sf):
     """DSIR importance-resampling log-likelihood ratios against the
     lang='en' target subset — the data-selection weight of Xie et al.
@@ -1676,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_keep_best": _q_minhash_keep_best,
         "mst_forest": _q_mst_forest,
         "dsir_en": _q_dsir_en,
+        "closeness_2": _q_closeness,
     }
 
 
@@ -4241,6 +4255,25 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(mst_ctes)
         + f" SELECT src, dst, weight FROM forest{_MST_ROUNDS}"
     )
+    sql["closeness_2"] = f"""
+        WITH {_E}, {_UND},
+        pairs AS (
+            SELECT node, x, min(d) AS d FROM (
+                SELECT src AS node, src AS x, 0 AS d FROM sym
+                UNION ALL SELECT src, dst, 1 FROM sym
+                UNION ALL
+                SELECT s1.src, s2.dst, 2
+                FROM sym s1 JOIN sym s2 ON s2.src = s1.dst
+            ) GROUP BY node, x
+        )
+        SELECT node,
+               count(*) FILTER (WHERE d > 0) AS n_reached,
+               CAST(sum(d) FILTER (WHERE d > 0) AS BIGINT) AS sum_dist,
+               round((count(*) FILTER (WHERE d > 0))
+                     / CAST(sum(d) FILTER (WHERE d > 0) AS DOUBLE), 6)
+                   AS closeness
+        FROM pairs GROUP BY node
+    """
     sql["dsir_en"] = f"""
         WITH {_TOKS},
         term AS (SELECT doc_id AS id, unnest(t) AS term FROM toks),

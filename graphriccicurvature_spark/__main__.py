@@ -544,6 +544,11 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.spanning import minimum_spanning_forest
 
         return minimum_spanning_forest(_load_edges(spark, args), rounds=args.rounds)
+    if op == "closeness":
+        from .operators.linkgraph import closeness_centrality
+        from .sources.edges import canonicalize
+
+        return closeness_centrality(canonicalize(_load_edges(spark, args)), radius=args.radius)
     if op == "dsir":
         from pyspark.sql import functions as F
 
@@ -567,7 +572,7 @@ OPS = (
     "pack anchor-stats sessions embeddedness contamination "
     "minhash-contamination spam-mass core-number bm25 pmi unigram-kl "
     "bib-coupling rich-club truss-number perplexity transitivity powerlaw "
-    "keep-best mst dsir"
+    "keep-best mst dsir closeness"
 ).split()
 
 

@@ -808,6 +808,19 @@ def harmonic_closeness(edges: DataFrame, radius: int) -> DataFrame:
     oracle-checkable twin of :func:`hyperball_harmonic`; per round one
     frontier join + a min-keeping distinct, cost Σ|ball_R|.
     """
+    reach = _bounded_reach(edges, radius)
+    return (
+        reach.filter(F.col("d") > 0)
+        .groupBy("node")
+        .agg(F.sum(F.lit(1.0) / F.col("d")).alias("harmonic"))
+    )
+
+
+def _bounded_reach(edges: DataFrame, radius: int) -> DataFrame:
+    """(node, x, d) table of every node x within min-distance d <= radius
+    of node on the undirected graph — one frontier join + min-keeping
+    distinct per round, cost Σ|ball_R|. Shared by the exact bounded
+    centralities (harmonic / closeness / neighborhood)."""
     und = edges.select("src", "dst")
     sym = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     nodes = sym.select(F.col("src").alias("node")).distinct()
@@ -824,10 +837,40 @@ def harmonic_closeness(edges: DataFrame, radius: int) -> DataFrame:
             .agg(F.min("d").alias("d"))
             .transform(truncate_plan)
         )
+    return reach
+
+
+def closeness_centrality(edges: DataFrame, radius: int) -> DataFrame:
+    """Exact bounded closeness centrality on the undirected graph:
+
+        CC_R(v) = n_reached_R(v) / sum_{0 < d(u,v) <= R} d(u,v)
+
+    — reachable-count over distance-sum within the radius-R ball, the
+    bounded form of the classic closeness (as R reaches the diameter
+    this is Wasserman-Faust closeness times (N-1)/ n_reached's
+    normalization; the bounded ratio is what web-scale systems report
+    since exact all-pairs is off the table). Every node in the edge
+    table has at least one neighbor, so n_reached >= 1 and the ratio is
+    always finite. Returns ``(node, n_reached, sum_dist, closeness)``.
+
+    Same materialized reach table as :func:`harmonic_closeness` — one
+    frontier join + min-keeping distinct per round; everything after is
+    one codegen aggregate.
+    """
+    reach = _bounded_reach(edges, radius)
     return (
         reach.filter(F.col("d") > 0)
         .groupBy("node")
-        .agg(F.sum(F.lit(1.0) / F.col("d")).alias("harmonic"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("d").alias("sum_dist"),
+        )
+        .select(
+            "node",
+            "n_reached",
+            "sum_dist",
+            (F.col("n_reached") / F.col("sum_dist")).alias("closeness"),
+        )
     )
 
 

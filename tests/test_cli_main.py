@@ -352,3 +352,11 @@ def test_cli_dsir(spark, tmp_path):
     df = spark.read.parquet(str(out))
     assert set(df.columns) == {"id", "n_tokens", "log_ratio", "avg_log_ratio"}
     assert df.count() == 500
+
+
+def test_cli_closeness(spark, tmp_path):
+    out = tmp_path / "close"
+    main(["closeness", "--docs", SF, "--output", str(out), "--radius", "2"])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"node", "n_reached", "sum_dist", "closeness"}
+    assert df.filter("closeness <= 0 OR closeness > 1").count() == 0

@@ -282,3 +282,28 @@ class TestDsirLogRatio:
             for r in dsir_log_ratio(docs, tgt).collect()
         }
         assert min(got[0], got[1]) > max(got[2], got[3])
+
+
+class TestClosenessCentrality:
+    @pytest.mark.parametrize("radius", [1, 2, 3])
+    def test_matches_networkx_reach(self, spark, radius):
+        from graphriccicurvature_spark.operators.linkgraph import (
+            closeness_centrality,
+        )
+
+        g = _random_graph(4, n=30, p=0.1)
+        g.remove_nodes_from(list(nx.isolates(g)))
+        got = {
+            r["node"]: (r["n_reached"], r["sum_dist"], r["closeness"])
+            for r in closeness_centrality(
+                _edges_df(spark, list(g.edges())), radius=radius
+            ).collect()
+        }
+        for v in g.nodes():
+            dists = nx.single_source_shortest_path_length(g, v, cutoff=radius)
+            del dists[v]
+            assert got[v][0] == len(dists)
+            assert got[v][1] == sum(dists.values())
+            assert got[v][2] == pytest.approx(
+                len(dists) / sum(dists.values()), abs=1e-12
+            )
