@@ -1494,6 +1494,19 @@ def _q_minhash_keep_best(spark, sf):
     )
 
 
+_LOUVAIN_ROUNDS = 4
+
+
+def _q_louvain(spark, sf):
+    """Synchronous Louvain move phase, 4 bounded rounds — modularity-gain
+    community detection; integer weights make every gain exact, so the
+    4-round unrolled DuckDB oracle replays it bit-for-bit."""
+    from graphriccicurvature_spark.operators.louvain import louvain_moves
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return louvain_moves(und, rounds=_LOUVAIN_ROUNDS).select("node", "community")
+
+
 def _q_closeness(spark, sf):
     """Exact bounded (radius-2) closeness centrality — reached-count over
     distance-sum within the 2-ball; the oracle materializes the same
@@ -1690,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_forest": _q_mst_forest,
         "dsir_en": _q_dsir_en,
         "closeness_2": _q_closeness,
+        "louvain_4r": _q_louvain,
     }
 
 
@@ -4274,6 +4288,71 @@ def oracle_sql() -> dict[str, str]:
                    AS closeness
         FROM pairs GROUP BY node
     """
+    # Louvain move phase: _LOUVAIN_ROUNDS unrolled synchronous rounds.
+    # weight is integer-valued (1.0) so every sum/gain is exact in doubles
+    # and the argmax replays identically. MATERIALIZED on every
+    # multiply-referenced CTE (see the MST oracle note).
+    lv_ctes = [
+        """lsym AS MATERIALIZED (
+            SELECT src, dst, weight FROM und
+            UNION ALL SELECT dst AS src, src AS dst, weight FROM und
+        )""",
+        "lki AS MATERIALIZED (SELECT src AS node, sum(weight) AS k FROM lsym GROUP BY src)",
+        "lm AS MATERIALIZED (SELECT sum(weight) AS m FROM und)",
+        "llab0 AS (SELECT node, node AS c FROM lki)",
+    ]
+    for r in range(1, _LOUVAIN_ROUNDS + 1):
+        lv_ctes.append(
+            f"""ltot{r} AS MATERIALIZED (
+            SELECT l.c, sum(k.k) AS tot FROM llab{r - 1} l
+            JOIN lki k ON k.node = l.node GROUP BY l.c
+        )"""
+        )
+        lv_ctes.append(
+            f"""lnbr{r} AS MATERIALIZED (
+            SELECT s.src AS node, lj.c AS cj, sum(s.weight) AS w
+            FROM lsym s JOIN llab{r - 1} lj ON lj.node = s.dst
+            GROUP BY s.src, lj.c
+        )"""
+        )
+        lv_ctes.append(
+            f"""lbest{r} AS MATERIALIZED (
+            SELECT node, cj AS c_new FROM (
+                SELECT g.node, g.cj, g.gain,
+                       row_number() OVER (
+                           PARTITION BY g.node ORDER BY g.gain DESC, g.cj ASC
+                       ) AS rn
+                FROM (
+                    SELECT n.node, n.cj,
+                           (n.w - coalesce(o.w, 0.0)) / lm.m
+                           - k.k * (tb.tot - (ta.tot - k.k))
+                             / (2.0 * lm.m * lm.m) AS gain
+                    FROM lnbr{r} n
+                    JOIN llab{r - 1} l ON l.node = n.node AND n.cj <> l.c
+                    LEFT JOIN (
+                        SELECT n2.node, n2.w FROM lnbr{r} n2
+                        JOIN llab{r - 1} l2
+                          ON l2.node = n2.node AND l2.c = n2.cj
+                    ) o ON o.node = n.node
+                    JOIN lki k ON k.node = n.node
+                    JOIN ltot{r} tb ON tb.c = n.cj
+                    JOIN ltot{r} ta ON ta.c = l.c
+                    CROSS JOIN lm
+                ) g
+            ) WHERE rn = 1 AND gain > 0
+        )"""
+        )
+        lv_ctes.append(
+            f"""llab{r} AS MATERIALIZED (
+            SELECT l.node, coalesce(b.c_new, l.c) AS c
+            FROM llab{r - 1} l LEFT JOIN lbest{r} b ON b.node = l.node
+        )"""
+        )
+    sql["louvain_4r"] = (
+        f"WITH {_E}, {_UND}, "
+        + ", ".join(lv_ctes)
+        + f" SELECT node, c AS community FROM llab{_LOUVAIN_ROUNDS}"
+    )
     sql["dsir_en"] = f"""
         WITH {_TOKS},
         term AS (SELECT doc_id AS id, unnest(t) AS term FROM toks),

@@ -544,6 +544,10 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.spanning import minimum_spanning_forest
 
         return minimum_spanning_forest(_load_edges(spark, args), rounds=args.rounds)
+    if op == "louvain":
+        from .operators.louvain import louvain_moves
+
+        return louvain_moves(_load_edges(spark, args), rounds=args.rounds or 4)
     if op == "closeness":
         from .operators.linkgraph import closeness_centrality
         from .sources.edges import canonicalize
@@ -572,7 +576,7 @@ OPS = (
     "pack anchor-stats sessions embeddedness contamination "
     "minhash-contamination spam-mass core-number bm25 pmi unigram-kl "
     "bib-coupling rich-club truss-number perplexity transitivity powerlaw "
-    "keep-best mst dsir closeness"
+    "keep-best mst dsir closeness louvain"
 ).split()
 
 

@@ -360,3 +360,12 @@ def test_cli_closeness(spark, tmp_path):
     df = spark.read.parquet(str(out))
     assert set(df.columns) == {"node", "n_reached", "sum_dist", "closeness"}
     assert df.filter("closeness <= 0 OR closeness > 1").count() == 0
+
+
+def test_cli_louvain(spark, tmp_path):
+    out = tmp_path / "louv"
+    main(["louvain", "--docs", SF, "--output", str(out), "--rounds", "2"])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"node", "community"}
+    # moves strictly coarsen: strictly fewer communities than nodes
+    assert df.select("community").distinct().count() < df.count()

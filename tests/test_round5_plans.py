@@ -187,3 +187,14 @@ def test_dsir_no_python_broadcast_marginals(spark):
     p = _plan(dsir_log_ratio(df, tgt))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_louvain_round_no_python(spark):
+    from graphriccicurvature_spark.operators.louvain import louvain_moves
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    p = _plan(louvain_moves(e, rounds=1))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
