@@ -1494,6 +1494,33 @@ def _q_minhash_keep_best(spark, sf):
     )
 
 
+def _q_weighted_sample(spark, sf):
+    """Top-25 Efraimidis-Spirakis weighted sample (weight = n_chars,
+    md5-derived uniforms) — deterministic weight-proportional sampling
+    without replacement; priorities replay exactly in DuckDB."""
+    from graphriccicurvature_spark.operators.filtering import weighted_sample_topk
+
+    docs = _docs(spark, sf).select("doc_id", "n_chars")
+    t = weighted_sample_topk(docs, "doc_id", "n_chars", k=25)
+    return t.select("doc_id", "n_chars", F.round("priority", 6).alias("priority"))
+
+
+def _q_ngram_contamination(spark, sf):
+    """GPT-3-style 13-gram cross-split contamination report for the
+    val/test splits (train-df-capped shingles, Brown et al. 2020 App. C)."""
+    from graphriccicurvature_spark.operators.textstats import ngram_contamination
+
+    t = ngram_contamination(_docs(spark, sf), n=13, max_train_df=10)
+    return t.select(
+        F.col("id").alias("doc_id"),
+        "split",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_contaminated",
+        F.round("contaminated_frac", 6).alias("contaminated_frac"),
+        "is_contaminated",
+    )
+
+
 _LOUVAIN_ROUNDS = 4
 
 
@@ -1593,7 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_node": _q_triangles_per_node,
         "edge_embeddedness": _q_edge_embeddedness,
         "weight_cut": _q_weight_cut,
-        "corpus_quantiles": _q_corpus_quantiles,
+        "louvain_4r": _q_louvain,
         "forman_aug": _q_forman_aug,
         "forman_nodes": _q_forman_nodes,
         "pagerank_5": _q_pagerank,
@@ -1627,7 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_40": _q_contamination,
         "minhash_contamination": _q_minhash_contamination,
         "host_stats": _q_host_stats,
-        "token_freq_top100": _q_token_freq,
+        "mst_forest": _q_mst_forest,
         "pages_text": _q_pages_text,
         "pages_edges": _q_pages_edges,
         "embedding_dedup_exact": _q_embedding_dedup_exact,
@@ -1700,10 +1727,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": _q_transitivity,
         "degree_powerlaw": _q_degree_powerlaw,
         "minhash_keep_best": _q_minhash_keep_best,
-        "mst_forest": _q_mst_forest,
         "dsir_en": _q_dsir_en,
         "closeness_2": _q_closeness,
-        "louvain_4r": _q_louvain,
+        "corpus_quantiles": _q_corpus_quantiles,
+        "token_freq_top100": _q_token_freq,
+        "ngram_contamination_13": _q_ngram_contamination,
+        "weighted_sample_25": _q_weighted_sample,
     }
 
 
@@ -4353,6 +4382,51 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(lv_ctes)
         + f" SELECT node, c AS community FROM llab{_LOUVAIN_ROUNDS}"
     )
+    sql["weighted_sample_25"] = """
+        SELECT doc_id, n_chars, round(priority, 6) AS priority FROM (
+            SELECT doc_id, n_chars,
+                   -ln(greatest(
+                        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            / 4294967296.0,
+                        1.0 / 4294967296.0 / 2.0))
+                   / n_chars AS priority
+            FROM documents WHERE n_chars > 0
+        ) ORDER BY priority ASC, doc_id ASC LIMIT 25
+    """
+    sql["ngram_contamination_13"] = f"""
+        WITH {_TOKS},
+        d AS MATERIALIZED (
+            SELECT doc_id AS id,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                        ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                        ELSE 'test' END AS split,
+                   CASE WHEN len(t) >= 13
+                        THEN list_distinct([array_to_string(t[i:i+12], ' ')
+                                            FOR i IN range(1, len(t) - 11)])
+                        ELSE []::VARCHAR[] END AS sh
+            FROM toks
+        ),
+        tr AS (
+            SELECT s FROM (
+                SELECT unnest(sh) AS s FROM d WHERE split = 'train'
+            ) GROUP BY s HAVING count(*) <= 10
+        ),
+        hits AS (
+            SELECT e.id, count(*) AS n_cont
+            FROM (SELECT id, unnest(sh) AS s FROM d WHERE split <> 'train') e
+            JOIN tr ON tr.s = e.s
+            GROUP BY e.id
+        )
+        SELECT d.id AS doc_id, d.split, len(d.sh) AS n_shingles,
+               coalesce(h.n_cont, 0) AS n_contaminated,
+               round(CASE WHEN len(d.sh) > 0
+                          THEN coalesce(h.n_cont, 0) / CAST(len(d.sh) AS DOUBLE)
+                          ELSE 0.0 END, 6) AS contaminated_frac,
+               coalesce(h.n_cont, 0) > 0 AS is_contaminated
+        FROM d LEFT JOIN hits h ON h.id = d.id
+        WHERE d.split <> 'train'
+    """
     sql["dsir_en"] = f"""
         WITH {_TOKS},
         term AS (SELECT doc_id AS id, unnest(t) AS term FROM toks),

@@ -171,6 +171,11 @@ def run_bench(spark) -> dict:
     t, _ = _time(lambda: minimum_spanning_forest(und).count())
     queries["mst_boruvka"] = t
 
+    from graphriccicurvature_spark.operators.louvain import louvain_moves
+
+    t, _ = _time(lambda: louvain_moves(und, rounds=4).count())
+    queries["louvain_4r"] = t
+
     from graphriccicurvature_spark.sources.pages import generate_pages
     from graphriccicurvature_spark.sources.extract import extract_links
 

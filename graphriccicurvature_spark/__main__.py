@@ -544,6 +544,15 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.spanning import minimum_spanning_forest
 
         return minimum_spanning_forest(_load_edges(spark, args), rounds=args.rounds)
+    if op == "weighted-sample":
+        from .operators.filtering import weighted_sample_topk
+
+        docs = _load_docs(spark, args)
+        return weighted_sample_topk(docs, "doc_id", "n_chars", k=args.top_n)
+    if op == "ngram-contamination":
+        from .operators.textstats import ngram_contamination
+
+        return ngram_contamination(_load_docs(spark, args), n=args.k)
     if op == "louvain":
         from .operators.louvain import louvain_moves
 
@@ -576,7 +585,7 @@ OPS = (
     "pack anchor-stats sessions embeddedness contamination "
     "minhash-contamination spam-mass core-number bm25 pmi unigram-kl "
     "bib-coupling rich-club truss-number perplexity transitivity powerlaw "
-    "keep-best mst dsir closeness louvain"
+    "keep-best mst dsir closeness louvain ngram-contamination weighted-sample"
 ).split()
 
 

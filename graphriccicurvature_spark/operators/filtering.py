@@ -197,3 +197,42 @@ def pack_documents(
         "n_tokens",
         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("offset"),
     ).withColumn("bin_id", (F.col("offset") / F.lit(int(budget))).cast("long"))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Reproducible weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-Res): each row gets priority ``-ln(u) / w`` with
+    ``u`` the deterministic md5 uniform of (salt || key); the k smallest
+    priorities ARE a weight-proportional sample. The data-mixing
+    primitive of training pipelines ("sample 1M docs proportional to
+    quality") — deterministic across re-runs, resharding and cluster
+    sizes, unlike ``DataFrame.sample``.
+
+    Rows with non-positive weight are excluded (they have zero inclusion
+    probability). Ties are broken by key for exact reproducibility.
+    Returns the sampled rows with their ``priority`` attached.
+
+    Scale: priority is one codegen projection; selection is a global
+    top-k (TakeOrderedAndProject — per-partition heap then one k-row
+    merge, never a full sort/shuffle of the corpus).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = hash_fraction(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    # u in [0,1): guard u=0 (md5 prefix 00000000) -> ln(0); substitute the
+    # smallest representable step so the row gets maximal priority value
+    safe_u = F.greatest(u, F.lit(1.0 / 4294967296.0 / 2.0))
+    pri = -F.log(safe_u) / F.col(weight_col)
+    out = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", pri)
+        .orderBy(F.asc("priority"), F.asc(key_col))
+        .limit(k)
+    )
+    return out

@@ -902,3 +902,72 @@ def dsir_log_ratio(
             (F.col("log_ratio") / F.col("dl")).alias("avg_log_ratio"),
         )
     )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    max_train_df: int = 10,
+) -> DataFrame:
+    """GPT-3-style n-gram decontamination report (Brown et al. 2020,
+    App. C): a val/test document is contaminated when it shares ANY word
+    ``n``-gram with the training split. Complements the exact-prefix
+    (:func:`contamination_check`) and MinHash (near-dup) gates with the
+    exact-overlap form the big-model reports actually use (n=13 there).
+
+    ``max_train_df`` drops n-grams occurring in more than that many
+    TRAIN documents before matching — the published recipe likewise
+    ignores ubiquitous boilerplate n-grams; at web scale this is also the
+    hub-key guard that keeps the shingle join's fan-out bounded. Returns
+    one row per non-train document: ``(doc_id, split, n_shingles,
+    n_contaminated, contaminated_frac, is_contaminated)``; documents
+    shorter than ``n`` tokens have 0 shingles and are clean by
+    definition.
+
+    Scale: per-doc distinct shingles (row-local), one shuffle keyed by
+    shingle for the train doc-frequency (map-side combine absorbs hot
+    boilerplate before the cap drops it), one eval-shingle/train-shingle
+    join on the capped key space, one per-doc rollup. Eval splits are
+    ~1/4 of the corpus so the join's left side is a fraction of a full
+    self-join.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        split_assignment(id_col).alias("split"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    train_sh = (
+        d.filter(F.col("split") == "train")
+        .select(F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("tdf"))
+        .filter(F.col("tdf") <= max_train_df)
+        .select("s")
+    )
+    ev = d.filter(F.col("split") != "train")
+    hits = (
+        ev.select("id", F.explode("sh").alias("s"))
+        .join(train_sh, "s", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        ev.select("id", "split", F.size("sh").alias("n_shingles"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id"),
+            "split",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.col("n_shingles").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contaminated_frac"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )

@@ -369,3 +369,22 @@ def test_cli_louvain(spark, tmp_path):
     assert set(df.columns) == {"node", "community"}
     # moves strictly coarsen: strictly fewer communities than nodes
     assert df.select("community").distinct().count() < df.count()
+
+
+def test_cli_ngram_contamination(spark, tmp_path):
+    out = tmp_path / "ngc"
+    main(["ngram-contamination", "--docs", SF, "--output", str(out), "--k", "13"])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {
+        "id", "split", "n_shingles", "n_contaminated",
+        "contaminated_frac", "is_contaminated",
+    }
+    assert df.filter("split = 'train'").count() == 0
+
+
+def test_cli_weighted_sample(spark, tmp_path):
+    out = tmp_path / "ws"
+    main(["weighted-sample", "--docs", SF, "--output", str(out), "--top-n", "10"])
+    df = spark.read.parquet(str(out))
+    assert df.count() == 10
+    assert "priority" in df.columns

@@ -369,3 +369,118 @@ class TestLouvainMoves:
 
         with pytest.raises(ValueError):
             louvain_moves(_edges_df(spark, [(0, 1)]), rounds=0)
+
+
+class TestNgramContamination:
+    def test_matches_python(self, spark):
+        from graphriccicurvature_spark.operators.textstats import (
+            ngram_contamination,
+        )
+        import hashlib
+
+        # n=3 for a hand-checkable fixture; ids span md5 splits
+        docs = [(i, f"w{i % 4} common phrase here tail{i}") for i in range(40)]
+        got = {
+            r["id"]: (r["split"], r["n_shingles"], r["n_contaminated"], r["is_contaminated"])
+            for r in ngram_contamination(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                n=3,
+                max_train_df=50,
+            ).collect()
+        }
+
+        def split(i):
+            c = hashlib.md5(str(i).encode()).hexdigest()[0]
+            return "train" if c in "0123456789ab" else ("val" if c in "cd" else "test")
+
+        def sh(t, n=3):
+            ts = t.split()
+            return {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)}
+
+        train = set()
+        for i, t in docs:
+            if split(i) == "train":
+                train |= sh(t)
+        evals = [(i, t) for i, t in docs if split(i) != "train"]
+        assert set(got) == {i for i, _ in evals}
+        for i, t in evals:
+            s = sh(t)
+            hits = len(s & train)
+            assert got[i] == (split(i), len(s), hits, hits > 0)
+
+    def test_train_df_cap_drops_boilerplate(self, spark):
+        from graphriccicurvature_spark.operators.textstats import (
+            ngram_contamination,
+        )
+
+        # "a b c" appears in every train doc; with cap 1 it must not count
+        docs = [(i, "a b c") for i in range(30)]
+        rows = ngram_contamination(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            n=3,
+            max_train_df=1,
+        ).collect()
+        assert rows and all(not r["is_contaminated"] for r in rows)
+
+    def test_short_docs_are_clean(self, spark):
+        from graphriccicurvature_spark.operators.textstats import (
+            ngram_contamination,
+        )
+
+        docs = [(i, "too short") for i in range(20)]
+        rows = ngram_contamination(
+            spark.createDataFrame(docs, "doc_id long, text string"), n=13
+        ).collect()
+        assert rows and all(
+            r["n_shingles"] == 0 and not r["is_contaminated"] for r in rows
+        )
+
+
+class TestWeightedSampleTopk:
+    def test_matches_python_ares(self, spark):
+        from graphriccicurvature_spark.operators.filtering import (
+            weighted_sample_topk,
+        )
+        import hashlib
+
+        rows = [(i, float(1 + (i * 7) % 13)) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = [
+            (r["doc_id"], r["priority"])
+            for r in weighted_sample_topk(df, "doc_id", "w", k=10).collect()
+        ]
+
+        def pri(i, w):
+            u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+            u = max(u, 1.0 / 2**32 / 2.0)
+            return -math.log(u) / w
+
+        exp = sorted(((pri(i, w), i) for i, w in rows))[:10]
+        got_sorted = sorted((p, i) for i, p in got)
+        assert [i for _, i in got_sorted] == [i for _, i in exp]
+        for (gp, _), (ep, _) in zip(got_sorted, exp):
+            assert gp == pytest.approx(ep, abs=1e-12)
+
+    def test_heavier_weights_win_more(self, spark):
+        from graphriccicurvature_spark.operators.filtering import (
+            weighted_sample_topk,
+        )
+
+        # weights 100 vs 1: the heavy half must dominate the sample
+        rows = [(i, 100.0 if i < 50 else 1.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = {r["doc_id"] for r in weighted_sample_topk(df, "doc_id", "w", k=20).collect()}
+        assert sum(1 for i in got if i < 50) >= 15
+
+    def test_nonpositive_weights_excluded_and_bad_k(self, spark):
+        from graphriccicurvature_spark.operators.filtering import (
+            weighted_sample_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 0.0), (1, -2.0), (2, 5.0)], "doc_id long, w double"
+        )
+        got = [r["doc_id"] for r in weighted_sample_topk(df, "doc_id", "w", k=3).collect()]
+        assert got == [2]
+        with pytest.raises(ValueError):
+            weighted_sample_topk(df, "doc_id", "w", k=0)
