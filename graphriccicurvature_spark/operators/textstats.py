@@ -363,6 +363,40 @@ def hash_split(
     )
 
 
+# GPT-2-style pre-tokenizer pattern, lookahead-free so the SAME pattern
+# runs under Java regex (Spark codegen) and RE2 (DuckDB oracle): an
+# optional leading space followed by a letter run, digit run, or
+# punctuation run. The full GPT-2 pattern's contraction alternatives and
+# trailing-space lookahead are dropped — they need backtracking, which
+# RE2 rejects — but the token-count statistics this feeds (fertility,
+# tokens/doc budgeting) are insensitive to those merges.
+BPE_PRETOKEN_PATTERN = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(text_col) -> Column:
+    """Subword-style pre-tokenization as a pure codegen Column (no UDF)."""
+    return F.regexp_extract_all(text_col, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def bpe_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token budget under BOTH tokenizations a training
+    pipeline quotes: whitespace words and a BPE-ish pre-tokenizer
+    (GPT-2-style letter/digit/punct runs), plus fertility =
+    bpe/whitespace — the ratio used to convert corpus word counts into
+    model token budgets. Row-local whole-stage codegen: one projection,
+    no shuffle, scales linearly at 100 TB."""
+    ws = token_count(F.col(text_col))
+    bp = F.size(bpe_tokens(F.col(text_col)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("n_ws_tokens"),
+        bp.alias("n_bpe_tokens"),
+        F.when(ws > 0, bp.cast("double") / ws).otherwise(F.lit(0.0)).alias("fertility"),
+    )
+
+
 def token_frequency(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
     """Corpus-level token frequency, top ``top_n`` by (count desc, token asc).
 

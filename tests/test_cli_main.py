@@ -388,3 +388,35 @@ def test_cli_weighted_sample(spark, tmp_path):
     df = spark.read.parquet(str(out))
     assert df.count() == 10
     assert "priority" in df.columns
+
+
+def test_cli_mis(spark, tmp_path):
+    out = tmp_path / "mis"
+    main(["mis", "--docs", SF, "--output", str(out), "--rounds", "3"])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"node", "in_mis", "round"}
+    assert df.filter("round > 3").count() == 0
+    assert df.filter("in_mis").count() > 0
+
+
+def test_cli_matching(spark, tmp_path):
+    out = tmp_path / "match"
+    main(["matching", "--docs", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"src", "dst", "round"}
+    # a matching: every node appears at most once
+    n_rows = df.count()
+    n_nodes = (
+        df.selectExpr("src AS node").union(df.selectExpr("dst AS node"))
+        .distinct()
+        .count()
+    )
+    assert n_nodes == 2 * n_rows
+
+
+def test_cli_bpe_tokens(spark, tmp_path):
+    out = tmp_path / "bpe"
+    main(["bpe-tokens", "--docs", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"doc_id", "n_ws_tokens", "n_bpe_tokens", "fertility"}
+    assert df.filter("n_bpe_tokens < n_ws_tokens").count() == 0
