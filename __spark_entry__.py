@@ -567,6 +567,30 @@ def _q_luby_mis(spark, sf):
     return luby_mis(und, rounds=4, priority="md5")
 
 
+def _q_simrank(spark, sf):
+    """Bounded SimRank (2 iterations, c=0.8) over the DIRECTED document
+    link graph; the oracle unrolls both scatter-sum iterations. Scores
+    are sums of few rationals — rounded to 6 on both sides like every
+    float query."""
+    from graphriccicurvature_spark.operators.linkgraph import simrank
+
+    e = edges_from_documents(spark, sf)
+    return simrank(e, num_iterations=2).select(
+        "a", "b", F.round("score", 6).alias("score")
+    )
+
+
+def _q_jp_coloring(spark, sf):
+    """Jones-Plassmann coloring, 4 bounded rounds, md5 priorities; the
+    oracle replays winners AND the per-winner mex color assignment
+    (list_filter/list_min in DuckDB vs sequence/array_except/array_min
+    in Spark — same math, no UDF on either side)."""
+    from graphriccicurvature_spark.operators.mis import jp_coloring
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return jp_coloring(und, rounds=4, priority="md5")
+
+
 def _q_maximal_matching(spark, sf):
     """Greedy locally-minimum-edge maximal matching, 4 bounded rounds,
     md5 edge priorities; same unrolled-oracle contract as luby_mis_4."""
@@ -1772,6 +1796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "luby_mis_4": _q_luby_mis,
         "maximal_matching_4": _q_maximal_matching,
+        "jp_coloring_4": _q_jp_coloring,
+        "simrank_2": _q_simrank,
         "ngram_contamination_13": _q_ngram_contamination,
         "weighted_sample_25": _q_weighted_sample,
     }
@@ -4491,6 +4517,65 @@ def oracle_sql() -> dict[str, str]:
             for r in range(1, _MIS_ROUNDS + 1)
         )
     )
+    # Jones-Plassmann coloring: MIS-style winners, but instead of
+    # knockouts each winner takes the mex of its pre-round colored
+    # neighborhood. Reuses mpri; jcol{r} accumulates (node, color, round).
+    jp_ctes = [
+        "ja0 AS (SELECT node, pri FROM mpri)",
+        "jcol0 AS (SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS INT) AS color, "
+        "CAST(NULL AS INT) AS round WHERE false)",
+    ]
+    for r in range(1, _MIS_ROUNDS + 1):
+        jp_ctes.append(
+            f"""je{r} AS MATERIALIZED (
+            SELECT s.src, s.dst FROM sym s
+            JOIN ja{r - 1} x ON x.node = s.src
+            JOIN ja{r - 1} y ON y.node = s.dst
+        )"""
+        )
+        jp_ctes.append(
+            f"""jw{r} AS MATERIALIZED (
+            SELECT a.node FROM ja{r - 1} a
+            LEFT JOIN (
+                SELECT e.src AS node, min(p.pri) AS mn
+                FROM je{r} e JOIN mpri p ON p.node = e.dst GROUP BY e.src
+            ) m USING (node)
+            WHERE m.mn IS NULL OR a.pri < m.mn
+        )"""
+        )
+        jp_ctes.append(
+            f"""jc{r} AS MATERIALIZED (
+            SELECT node,
+                   CAST(coalesce(list_min(list_filter(range(0, 1 + len(cs)),
+                        x -> NOT list_contains(cs, x))), 0) AS INT) AS color
+            FROM (
+                SELECT w.node,
+                       coalesce(list(DISTINCT c.color)
+                                FILTER (WHERE c.color IS NOT NULL), []) AS cs
+                FROM jw{r} w
+                LEFT JOIN sym s ON s.src = w.node
+                LEFT JOIN jcol{r - 1} c ON c.node = s.dst
+                GROUP BY w.node
+            )
+        )"""
+        )
+        jp_ctes.append(
+            f"""jcol{r} AS MATERIALIZED (
+            SELECT node, color, round FROM jcol{r - 1}
+            UNION ALL SELECT node, color, {r} AS round FROM jc{r}
+        )"""
+        )
+        jp_ctes.append(
+            f"""ja{r} AS MATERIALIZED (
+            SELECT a.node, a.pri FROM ja{r - 1} a
+            WHERE a.node NOT IN (SELECT node FROM jw{r})
+        )"""
+        )
+    sql["jp_coloring_4"] = (
+        f"WITH {_E}, {_UND}, "
+        + ", ".join(mis_ctes[:1] + jp_ctes)
+        + f" SELECT node, color, round FROM jcol{_MIS_ROUNDS}"
+    )
     # Greedy maximal matching: an edge wins iff it is the strict priority
     # minimum at BOTH endpoints among still-active edges.
     mm_ctes = [
@@ -4535,6 +4620,38 @@ def oracle_sql() -> dict[str, str]:
             for r in range(1, _MIS_ROUNDS + 1)
         )
     )
+    # SimRank: 2 unrolled scatter-sum iterations over directed in-links.
+    sql["simrank_2"] = f"""
+        WITH {_E},
+        de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+        sind AS MATERIALIZED (SELECT dst, count(*) AS ind FROM de GROUP BY dst),
+        snds AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM de UNION ALL SELECT dst FROM de
+            )
+        ),
+        sr0 AS (SELECT node AS a, node AS b, 1.0 AS score FROM snds),
+        ss1 AS MATERIALIZED (
+            SELECT ea.dst AS a, eb.dst AS b, sum(r.score) AS s
+            FROM sr0 r JOIN de ea ON ea.src = r.a JOIN de eb ON eb.src = r.b
+            WHERE ea.dst <> eb.dst GROUP BY ea.dst, eb.dst
+        ),
+        sr1 AS MATERIALIZED (
+            SELECT node AS a, node AS b, 1.0 AS score FROM snds
+            UNION ALL
+            SELECT s.a, s.b, 0.8 * s.s / (ia.ind * ib.ind) AS score
+            FROM ss1 s JOIN sind ia ON ia.dst = s.a JOIN sind ib ON ib.dst = s.b
+        ),
+        ss2 AS MATERIALIZED (
+            SELECT ea.dst AS a, eb.dst AS b, sum(r.score) AS s
+            FROM sr1 r JOIN de ea ON ea.src = r.a JOIN de eb ON eb.src = r.b
+            WHERE ea.dst <> eb.dst GROUP BY ea.dst, eb.dst
+        )
+        SELECT s.a, s.b,
+               round(0.8 * s.s / (ia.ind * ib.ind), 6) AS score
+        FROM ss2 s JOIN sind ia ON ia.dst = s.a JOIN sind ib ON ib.dst = s.b
+        WHERE s.a < s.b
+    """
     sql["weighted_sample_25"] = """
         SELECT doc_id, n_chars, round(priority, 6) AS priority FROM (
             SELECT doc_id, n_chars,

@@ -565,6 +565,16 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.mis import maximal_matching
 
         return maximal_matching(_load_edges(spark, args), rounds=args.rounds)
+    if op == "coloring":
+        from .operators.mis import jp_coloring
+
+        return jp_coloring(_load_edges(spark, args), rounds=args.rounds)
+    if op == "simrank":
+        from .operators.linkgraph import simrank
+
+        # --rounds, not --iterations: the exact pair table grows with
+        # iteration count, so the default stays at a safe bounded 2
+        return simrank(_load_edges(spark, args), num_iterations=args.rounds or 2)
     if op == "bpe-tokens":
         from .operators.textstats import bpe_token_stats
 
@@ -598,7 +608,7 @@ OPS = (
     "minhash-contamination spam-mass core-number bm25 pmi unigram-kl "
     "bib-coupling rich-club truss-number perplexity transitivity powerlaw "
     "keep-best mst dsir closeness louvain ngram-contamination weighted-sample "
-    "mis matching bpe-tokens"
+    "mis matching bpe-tokens coloring simrank"
 ).split()
 
 

@@ -1295,3 +1295,71 @@ def truss_number(
     return base.join(mx, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce("mk", F.lit(2)).alias("truss")
     )
+
+
+def simrank(
+    edges: DataFrame,
+    num_iterations: int = 2,
+    c: float = 0.8,
+    min_score: float = 1e-9,
+) -> DataFrame:
+    """Bounded SimRank (Jeh & Widom 2002): "two pages are similar if they
+    are referenced by similar pages". Returns ``(a, b, score)`` for node
+    pairs with ``a < b`` and nonzero iterated score.
+
+        R_0(a, b) = 1 if a == b else 0
+        R_k(a, b) = c / (|I(a)||I(b)|) * sum_{i in I(a), j in I(b)} R_{k-1}(i, j)
+
+    over DIRECTED in-neighborhoods I(.). The iteration is expressed
+    join-first (scatter the previous pair table through one out-edge join
+    per side, then one map-side-combinable sum keyed by the new pair), so
+    each iteration is three shuffles and the nonzero pair table is the
+    only state. R_{k-1} carries the implicit diagonal explicitly, and the
+    pair table is kept SYMMETRIC between iterations so the scatter join
+    needs no orientation case analysis; the output is canonicalized to
+    a < b at the end.
+
+    Scale: the exact pair table is quadratic in the worst case — this
+    bounded form is for head/eval-set similarity (it also drops pairs
+    below ``min_score``, the standard truncation). The published 100 TB
+    path is Monte-Carlo SimRank over reverse random walks (first-meeting
+    time of two c^t-discounted walks); `random_walks` provides the walk
+    machinery if estimation is needed at full-corpus scale.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("ind"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # symmetric-with-diagonal previous table
+    prev = nodes.select(
+        F.col("node").alias("a"), F.col("node").alias("b"), F.lit(1.0).alias("score")
+    )
+    for _ in range(num_iterations):
+        scattered = (
+            prev.join(e.select(F.col("src").alias("a"), F.col("dst").alias("na")), "a")
+            .join(e.select(F.col("src").alias("b"), F.col("dst").alias("nb")), "b")
+            .filter(F.col("na") != F.col("nb"))
+            .groupBy("na", "nb")
+            .agg(F.sum("score").alias("s"))
+        )
+        offdiag = (
+            scattered.join(ind.select(F.col("dst").alias("na"), F.col("ind").alias("ia")), "na")
+            .join(ind.select(F.col("dst").alias("nb"), F.col("ind").alias("ib")), "nb")
+            .select(
+                F.col("na").alias("a"),
+                F.col("nb").alias("b"),
+                (F.lit(c) * F.col("s") / (F.col("ia") * F.col("ib"))).alias("score"),
+            )
+            .filter(F.col("score") >= min_score)
+        )
+        prev = truncate_plan(
+            nodes.select(
+                F.col("node").alias("a"),
+                F.col("node").alias("b"),
+                F.lit(1.0).alias("score"),
+            ).union(offdiag)
+        )
+    return prev.filter(F.col("a") < F.col("b")).select("a", "b", "score")

@@ -135,6 +135,116 @@ def luby_mis(
     return decided
 
 
+def jp_coloring(
+    edges: DataFrame,
+    rounds: int | None = None,
+    max_rounds: int = 60,
+    priority: str = "md5",
+) -> DataFrame:
+    """Jones-Plassmann greedy graph coloring as synchronous rounds.
+    Returns ``(node, color, round)`` for every node COLORED within the
+    executed rounds; colors are 0-based and the fixpoint result is a
+    proper coloring with at most Δ+1 colors.
+
+    Each round, every still-uncolored node whose priority is the strict
+    local minimum among uncolored neighbors takes the smallest color not
+    used by its already-colored neighbors (the "mex"), computed as pure
+    column algebra: sequence(0, |colored nbr colors|) minus the color
+    set, array_min — no UDF. Winners per round form an independent set
+    among the uncolored subgraph, so two neighbors never color in the
+    same round and properness is invariant. Same priority/determinism/
+    scale contract as :func:`luby_mis`; coloring is the classic
+    conflict-free scheduling primitive (e.g. batching synchronous label
+    updates so no two adjacent nodes move in the same batch).
+    """
+    und = canonicalize(edges).select("src", "dst")
+    nodes = (
+        und.select(F.col("src").alias("node"))
+        .union(und.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", _node_priority(F.col("node"), priority).alias("pri"))
+    )
+    active = truncate_plan(nodes)
+    sym = truncate_plan(
+        und.select("src", "dst").union(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+
+    colored: DataFrame | None = None
+    n_rounds = rounds if rounds is not None else max_rounds
+    fixpoint = rounds is None
+
+    for r in range(1, n_rounds + 1):
+        if fixpoint and active.isEmpty():
+            break
+        act_e = (
+            sym.join(active.select(F.col("node").alias("src")), "src")
+            .join(
+                active.select(
+                    F.col("node").alias("dst"), F.col("pri").alias("pri_dst")
+                ),
+                "dst",
+            )
+        )
+        nbr_min = act_e.groupBy("src").agg(
+            F.min(F.struct(F.col("pri_dst"), F.col("dst"))).alias("mn")
+        )
+        winners = (
+            active.join(nbr_min, active["node"] == nbr_min["src"], "left")
+            .filter(
+                F.col("mn").isNull()
+                | (F.struct(F.col("pri"), F.col("node")) < F.col("mn"))
+            )
+            .select("node")
+        )
+        if colored is None:
+            wc = winners.select("node", F.lit(0).alias("color"))
+        else:
+            # distinct colors already taken in each winner's neighborhood,
+            # then mex = min of [0..|set|] minus the set (always defined:
+            # a set of k colors cannot cover k+1 candidates)
+            nbr_colors = (
+                sym.join(winners.select(F.col("node").alias("src")), "src")
+                .join(
+                    colored.select(
+                        F.col("node").alias("dst"), F.col("color")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.collect_set("color").alias("cs"))
+                .select(F.col("src").alias("node"), "cs")
+            )
+            wc = (
+                winners.join(nbr_colors, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(
+                        F.array_min(
+                            F.array_except(
+                                F.sequence(
+                                    F.lit(0),
+                                    F.size(F.coalesce("cs", F.array())),
+                                ),
+                                F.coalesce("cs", F.array()),
+                            )
+                        ),
+                        F.lit(0),
+                    ).alias("color"),
+                )
+            )
+        round_rows = wc.select("node", "color", F.lit(r).alias("round"))
+        colored = round_rows if colored is None else colored.union(round_rows)
+        active = truncate_plan(active.join(round_rows.select("node"), "node", "left_anti"))
+        colored = truncate_plan(colored)
+
+    if colored is None:
+        schema = "node long, color int, round int"
+        return edges.sparkSession.createDataFrame([], schema)
+    return colored
+
+
 def maximal_matching(
     edges: DataFrame,
     rounds: int | None = None,

@@ -420,3 +420,19 @@ def test_cli_bpe_tokens(spark, tmp_path):
     df = spark.read.parquet(str(out))
     assert set(df.columns) == {"doc_id", "n_ws_tokens", "n_bpe_tokens", "fertility"}
     assert df.filter("n_bpe_tokens < n_ws_tokens").count() == 0
+
+
+def test_cli_coloring(spark, tmp_path):
+    out = tmp_path / "color"
+    main(["coloring", "--docs", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"node", "color", "round"}
+    assert df.filter("color < 0").count() == 0
+
+
+def test_cli_simrank(spark, tmp_path):
+    out = tmp_path / "sr"
+    main(["simrank", "--docs", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"a", "b", "score"}
+    assert df.filter("score <= 0 OR score > 0.81").count() == 0

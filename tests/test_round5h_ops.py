@@ -222,6 +222,139 @@ class TestLubyMis:
         assert bounded == {t for t in full if t[2] <= 2}
 
 
+def _ref_jp(edges, priority):
+    """Round-for-round python replay of jp_coloring: winners are strict
+    local priority minima among uncolored nodes; each takes the mex of
+    its PRE-ROUND colored neighborhood (winners are independent, so the
+    snapshot choice cannot matter)."""
+    nodes = sorted({u for e in edges for u in e})
+    adj = {u: set() for u in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    active = set(nodes)
+    colored = {}
+    r = 0
+    while active:
+        r += 1
+        winners = {
+            u
+            for u in active
+            if all(
+                (priority(u), u) < (priority(v), v)
+                for v in adj[u]
+                if v in active
+            )
+        }
+        snapshot = dict(colored)
+        for u in winners:
+            used = {snapshot[v][0] for v in adj[u] if v in snapshot}
+            c = 0
+            while c in used:
+                c += 1
+            colored[u] = (c, r)
+        active -= winners
+    return colored
+
+
+class TestJpColoring:
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_matches_reference_fixpoint(self, spark, seed):
+        from graphriccicurvature_spark.operators.mis import jp_coloring
+
+        edges = _random_edges(seed)
+        df = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in edges], ["src", "dst", "weight"]
+        )
+        got = {
+            r["node"]: (r["color"], r["round"])
+            for r in jp_coloring(df).collect()
+        }
+        assert got == _ref_jp(edges, _md5_node)
+
+    def test_proper_coloring_invariants(self, spark):
+        from graphriccicurvature_spark.operators.mis import jp_coloring
+
+        edges = _random_edges(13, n=40, p=0.2)
+        df = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in edges], ["src", "dst", "weight"]
+        )
+        rows = jp_coloring(df, priority="xxhash64").collect()
+        col = {r["node"]: r["color"] for r in rows}
+        nodes = {u for e in edges for u in e}
+        assert set(col) == nodes
+        assert all(col[u] != col[v] for u, v in edges)
+        deg = {u: 0 for u in nodes}
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        assert max(col.values()) <= max(deg.values())  # <= Delta+1 colors
+
+
+class TestSimrank:
+    @staticmethod
+    def _ref_simrank(edges, n, k, c=0.8):
+        """Dense-matrix SimRank reference (Jeh & Widom 2002 eq. 1)."""
+        import numpy as np
+
+        inn = {v: [] for v in range(n)}
+        for u, v in edges:
+            if u != v:
+                inn[v].append(u)
+        R = np.eye(n)
+        for _ in range(k):
+            nxt = np.eye(n)
+            for a in range(n):
+                for b in range(n):
+                    if a == b or not inn[a] or not inn[b]:
+                        continue
+                    s = sum(R[i, j] for i in inn[a] for j in inn[b])
+                    nxt[a, b] = c * s / (len(inn[a]) * len(inn[b]))
+            R = nxt
+        return R
+
+    @pytest.mark.parametrize("seed", [1, 2])
+    def test_matches_matrix_reference(self, spark, seed):
+        from graphriccicurvature_spark.operators.linkgraph import simrank
+
+        rng = random.Random(seed)
+        n = 14
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(40)
+            }
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in edges], ["src", "dst", "weight"]
+        )
+        got = {
+            (r["a"], r["b"]): r["score"] for r in simrank(df, num_iterations=2).collect()
+        }
+        R = self._ref_simrank(edges, n, 2)
+        want = {
+            (a, b): R[a, b]
+            for a in range(n)
+            for b in range(a + 1, n)
+            if R[a, b] > 0
+        }
+        assert set(got) == set(want)
+        for p, v in want.items():
+            assert got[p] == pytest.approx(v, abs=1e-9), p
+
+    def test_scores_bounded(self, spark):
+        from graphriccicurvature_spark.operators.linkgraph import simrank
+
+        edges = _random_edges(5, n=25, p=0.15)
+        df = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in edges], ["src", "dst", "weight"]
+        )
+        rows = simrank(df, num_iterations=2).collect()
+        assert rows
+        assert all(0 < r["score"] <= 0.8 + 1e-12 for r in rows)
+
+
 class TestMaximalMatching:
     @pytest.mark.parametrize("seed", [1, 2, 3])
     def test_matches_reference_fixpoint(self, spark, seed):
