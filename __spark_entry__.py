@@ -567,6 +567,25 @@ def _q_luby_mis(spark, sf):
     return luby_mis(und, rounds=4, priority="md5")
 
 
+def _q_robustness(spark, sf):
+    """Hub-removal robustness report (giant-component fraction before/
+    after deleting the top-10 degree hubs); oracle replays the top-k and
+    both min-label CC fixpoints."""
+    from graphriccicurvature_spark.operators.webgraph import robustness_report
+
+    r = robustness_report(edges_from_documents(spark, sf), k=10)
+    return r.select(
+        "k_removed",
+        "n_nodes",
+        "n_edges_before",
+        "n_edges_after",
+        "giant_before",
+        "giant_after",
+        F.round("giant_frac_before", 6).alias("giant_frac_before"),
+        F.round("giant_frac_after", 6).alias("giant_frac_after"),
+    )
+
+
 def _q_simrank(spark, sf):
     """Bounded SimRank (2 iterations, c=0.8) over the DIRECTED document
     link graph; the oracle unrolls both scatter-sum iterations. Scores
@@ -1798,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_matching_4": _q_maximal_matching,
         "jp_coloring_4": _q_jp_coloring,
         "simrank_2": _q_simrank,
+        "robustness_top10": _q_robustness,
         "ngram_contamination_13": _q_ngram_contamination,
         "weighted_sample_25": _q_weighted_sample,
     }
@@ -4620,6 +4640,65 @@ def oracle_sql() -> dict[str, str]:
             for r in range(1, _MIS_ROUNDS + 1)
         )
     )
+    # Robustness: top-10-degree hub removal, giant CC fraction before/after.
+    sql["robustness_top10"] = f"""
+        WITH RECURSIVE {_E}, {_UND},
+        rnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+        rhubs AS MATERIALIZED (
+            SELECT node FROM deg ORDER BY degree DESC, node ASC LIMIT 10
+        ),
+        rafter AS MATERIALIZED (
+            SELECT src, dst FROM und
+            WHERE src NOT IN (SELECT node FROM rhubs)
+              AND dst NOT IN (SELECT node FROM rhubs)
+        ),
+        bsym AS (
+            SELECT src, dst FROM und UNION SELECT dst, src FROM und
+            UNION SELECT node, node FROM rnodes
+        ),
+        blab(iter, node, label) AS (
+            SELECT 0, node, node FROM rnodes
+            UNION ALL
+            SELECT l.iter + 1, s.dst, min(l.label)
+            FROM blab l JOIN bsym s ON s.src = l.node
+            WHERE l.iter < 40 GROUP BY l.iter, s.dst
+        ),
+        bgiant AS (
+            SELECT max(c) AS giant_before FROM (
+                SELECT count(*) AS c FROM blab WHERE iter = 40 GROUP BY label
+            )
+        ),
+        arem AS MATERIALIZED (
+            SELECT node FROM rnodes WHERE node NOT IN (SELECT node FROM rhubs)
+        ),
+        asym AS (
+            SELECT src, dst FROM rafter UNION SELECT dst, src FROM rafter
+            UNION SELECT node, node FROM arem
+        ),
+        alab(iter, node, label) AS (
+            SELECT 0, node, node FROM arem
+            UNION ALL
+            SELECT l.iter + 1, s.dst, min(l.label)
+            FROM alab l JOIN asym s ON s.src = l.node
+            WHERE l.iter < 40 GROUP BY l.iter, s.dst
+        ),
+        agiant AS (
+            SELECT coalesce(max(c), 0) AS giant_after FROM (
+                SELECT count(*) AS c FROM alab WHERE iter = 40 GROUP BY label
+            )
+        )
+        SELECT (SELECT count(*) FROM rhubs) AS k_removed,
+               (SELECT count(*) FROM rnodes) AS n_nodes,
+               (SELECT count(*) FROM und) AS n_edges_before,
+               (SELECT count(*) FROM rafter) AS n_edges_after,
+               giant_before,
+               giant_after,
+               round(giant_before / CAST((SELECT count(*) FROM rnodes) AS DOUBLE), 6)
+                   AS giant_frac_before,
+               round(giant_after / CAST((SELECT count(*) FROM rnodes) AS DOUBLE), 6)
+                   AS giant_frac_after
+        FROM bgiant, agiant
+    """
     # SimRank: 2 unrolled scatter-sum iterations over directed in-links.
     sql["simrank_2"] = f"""
         WITH {_E},

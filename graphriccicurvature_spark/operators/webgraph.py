@@ -693,3 +693,72 @@ def betweenness_from_sources(
     return nodes.join(bc, "node", "left").select(
         "node", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
     )
+
+
+def robustness_report(edges: DataFrame, k: int = 10) -> DataFrame:
+    """Hub-removal robustness: how much of the graph stays in the giant
+    connected component after deleting the top-``k`` highest-degree nodes
+    (deterministic ties by node id) — the crawl-resilience / link-farm-
+    dependence report (scale-free graphs famously shatter under targeted
+    hub removal but not random failure, Albert-Jeong-Barabási 2000).
+
+    Returns ONE row: ``(k_removed, n_nodes, n_edges_before,
+    n_edges_after, giant_before, giant_after, giant_frac_before,
+    giant_frac_after)`` with fractions over the ORIGINAL node count
+    (removed hubs count as lost coverage, not as a shrunken base).
+
+    Scale shape: degree aggregate + a k-row global top-k
+    (TakeOrderedAndProject) broadcast into two anti-joins, then the same
+    hybrid CC used everywhere (driver union-find under its cap,
+    large-star/small-star fixpoint above); the two giant-size reductions
+    are 1-row aggregates. No step collects more than k rows plus scalars.
+    """
+    from ..sources.edges import canonicalize
+    from .components import connected_components_hybrid
+
+    und = canonicalize(edges).select("src", "dst")
+    nodes = (
+        und.select(F.col("src").alias("node"))
+        .union(und.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .union(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hubs = deg.orderBy(F.desc("degree"), F.asc("node")).limit(k).select("node")
+    after = (
+        und.join(hubs.select(F.col("node").alias("src")), "src", "left_anti")
+        .join(hubs.select(F.col("node").alias("dst")), "dst", "left_anti")
+        .select("src", "dst")
+    )
+
+    def _giant(e: DataFrame, verts: DataFrame) -> DataFrame:
+        cc = connected_components_hybrid(
+            e.withColumn("weight", F.lit(1.0)), vertices=verts
+        )
+        return cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz")).agg(
+            F.coalesce(F.max("sz"), F.lit(0)).alias("giant")
+        )
+
+    remaining = nodes.join(hubs, "node", "left_anti")
+    stats = (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .join(F.broadcast(und.agg(F.count(F.lit(1)).alias("n_edges_before"))))
+        .join(F.broadcast(after.agg(F.count(F.lit(1)).alias("n_edges_after"))))
+        .join(F.broadcast(hubs.agg(F.count(F.lit(1)).alias("k_removed"))))
+        .join(F.broadcast(_giant(und, nodes).withColumnRenamed("giant", "giant_before")))
+        .join(F.broadcast(_giant(after, remaining).withColumnRenamed("giant", "giant_after")))
+    )
+    return stats.select(
+        "k_removed",
+        "n_nodes",
+        "n_edges_before",
+        "n_edges_after",
+        "giant_before",
+        "giant_after",
+        (F.col("giant_before") / F.col("n_nodes")).alias("giant_frac_before"),
+        (F.col("giant_after") / F.col("n_nodes")).alias("giant_frac_after"),
+    )

@@ -291,6 +291,49 @@ class TestJpColoring:
         assert max(col.values()) <= max(deg.values())  # <= Delta+1 colors
 
 
+class TestRobustnessReport:
+    def test_star_graph_shatters(self, spark):
+        """A star: removing the single hub (k=1) drops the giant component
+        from n to 1 (all leaves become singletons)."""
+        from graphriccicurvature_spark.operators.webgraph import robustness_report
+
+        n = 12
+        df = spark.createDataFrame(
+            [(0, v, 1.0) for v in range(1, n)], ["src", "dst", "weight"]
+        )
+        r = robustness_report(df, k=1).collect()[0]
+        assert r["k_removed"] == 1
+        assert r["n_nodes"] == n
+        assert r["giant_before"] == n
+        assert r["giant_after"] == 1
+        assert r["n_edges_after"] == 0
+
+    def test_matches_networkx(self, spark):
+        import networkx as nx
+
+        from graphriccicurvature_spark.operators.webgraph import robustness_report
+
+        edges = _random_edges(21, n=40, p=0.1)
+        g = nx.Graph(edges)
+        df = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in edges], ["src", "dst", "weight"]
+        )
+        k = 5
+        r = robustness_report(df, k=k).collect()[0]
+        deg = sorted(g.degree(), key=lambda t: (-t[1], t[0]))
+        hubs = {u for u, _ in deg[:k]}
+        h = g.copy()
+        h.remove_nodes_from(hubs)
+        assert r["giant_before"] == max(len(c) for c in nx.connected_components(g))
+        want_after = max(
+            (len(c) for c in nx.connected_components(h)), default=0
+        ) if h.number_of_nodes() else 0
+        # isolated survivors count as singleton components
+        want_after = max(want_after, 1 if h.number_of_nodes() else 0)
+        assert r["giant_after"] == want_after
+        assert r["n_edges_after"] == h.number_of_edges()
+
+
 class TestSimrank:
     @staticmethod
     def _ref_simrank(edges, n, k, c=0.8):
