@@ -217,3 +217,46 @@ def session_event_counts_stream(
             "sum_value",
         )
     )
+
+
+def running_host_stats_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    schema,
+):
+    """Streaming twin of ``textstats.host_stats``: running per-host page,
+    distinct-language and token totals over a pages file stream — the
+    live crawl-monitoring rollup (per-domain ingest rates feed politeness
+    budgets and domain blocklists while the crawl runs).
+
+    Complete-mode keyed aggregate: state is one row per host (hosts are
+    bounded — millions, not trillions — so host-keyed state survives an
+    unbounded page stream where page-keyed state would not). The
+    expressions are IDENTICAL to the batch operator, so a drained
+    availableNow pass must equal host_stats on the same files
+    (stream==batch parity test), and restarts resume exactly-once from
+    the checkpoint like every other stream here.
+
+    approx_count_distinct replaces the batch exact count(DISTINCT lang):
+    exact distinct inside a streaming aggregate would keep per-(host,
+    lang) state; the HLL++ sketch is mergeable per micro-batch. At a
+    5-language corpus the sketch is exact, which is what the parity test
+    pins.
+    """
+    from ..operators.textstats import token_count
+
+    stream = spark.readStream.schema(schema).parquet(pages_dir)
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
+    return (
+        stream.select(
+            host.alias("host"),
+            F.col("lang"),
+            token_count(F.col("text")).alias("nt"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.approx_count_distinct("lang").alias("n_langs"),
+            F.sum("nt").alias("n_tokens_total"),
+        )
+    )

@@ -39,3 +39,49 @@ def test_running_type_totals_matches_batch(tmp_path, spark):
         .collect()
     }
     assert got == want
+
+
+def test_running_host_stats_matches_batch(tmp_path, spark):
+    from graphriccicurvature_spark.operators.textstats import host_stats
+    from graphriccicurvature_spark.sources.pages import generate_pages
+    from graphriccicurvature_spark.streaming.events import (
+        running_host_stats_stream,
+    )
+
+    pages = generate_pages(spark, 100)
+    stream_dir = tmp_path / "pages"
+    # two files -> two micro-batches under availableNow
+    pages.filter("url like '%/p/1%' or url like '%/p/2%'").coalesce(1).write.parquet(
+        str(stream_dir / "b0"), mode="overwrite"
+    )
+    pages.filter(
+        "not (url like '%/p/1%' or url like '%/p/2%')"
+    ).coalesce(1).write.parquet(str(stream_dir / "b1"), mode="overwrite")
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import glob
+    import shutil
+
+    for i, f in enumerate(
+        sorted(glob.glob(str(stream_dir / "b*" / "*.parquet")))
+    ):
+        shutil.copy(f, flat / f"p{i}.parquet")
+
+    out = running_host_stats_stream(spark, str(flat), pages.schema)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("host_totals")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.host: (r.n_pages, r.n_langs, r.n_tokens_total)
+        for r in spark.sql("select * from host_totals").collect()
+    }
+    want = {
+        r.host: (r.n_pages, r.n_langs, r.n_tokens_total)
+        for r in host_stats(pages).collect()
+    }
+    assert got == want
