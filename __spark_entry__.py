@@ -567,6 +567,15 @@ def _q_luby_mis(spark, sf):
     return luby_mis(und, rounds=4, priority="md5")
 
 
+def _q_dup_cluster_histogram(spark, sf):
+    """Duplicate cluster-size histogram (dedup-threshold sheet) under
+    the same 40-char-prefix canonicalization as contamination_40, so the
+    synthetic corpus actually exhibits multi-member clusters."""
+    from graphriccicurvature_spark.operators.dedup import dup_cluster_histogram
+
+    return dup_cluster_histogram(_docs(spark, sf), prefix=40)
+
+
 def _q_robustness(spark, sf):
     """Hub-removal robustness report (giant-component fraction before/
     after deleting the top-10 degree hubs); oracle replays the top-k and
@@ -1818,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jp_coloring_4": _q_jp_coloring,
         "simrank_2": _q_simrank,
         "robustness_top10": _q_robustness,
+        "dup_cluster_histogram": _q_dup_cluster_histogram,
         "ngram_contamination_13": _q_ngram_contamination,
         "weighted_sample_25": _q_weighted_sample,
     }
@@ -2080,6 +2090,17 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_survivor,
                md5(text) AS group_hash
         FROM documents
+    """
+    sql["dup_cluster_histogram"] = """
+        WITH cl AS (
+            SELECT md5(substring(text, 1, 40)) AS group_hash,
+                   count(*) AS cluster_size
+            FROM documents GROUP BY 1
+        )
+        SELECT cluster_size,
+               count(*) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        FROM cl GROUP BY cluster_size
     """
     sql["ngram_jaccard"] = """
         WITH toks AS (

@@ -540,3 +540,46 @@ def keep_best_survivors(
             "quality",
         )
     )
+
+
+def dup_cluster_histogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: int | None = None,
+) -> DataFrame:
+    """Duplicate cluster-size histogram: for each cluster size s, how
+    many clusters have exactly s members and how many documents they
+    hold — the distribution read before choosing dedup thresholds and
+    survivor policies ("is duplication a few mega-clusters or a long
+    tail of pairs?", Lee et al. 2021 fig. 2 territory).
+
+    ``prefix=None`` clusters on the full text (exact dedup's key);
+    ``prefix=k`` clusters on md5(first k chars) — the same prefix
+    canonicalization as :func:`~.textstats.contamination_check`, which
+    also groups near-identical boilerplate heads.
+
+    Two map-side-combinable hash aggregates (md5 -> cluster sizes ->
+    histogram); the second groupBy keys on the size, whose cardinality is
+    tiny, so the report never materializes anything proportional to the
+    corpus on one node. Returns (cluster_size, n_clusters, n_docs).
+    """
+    key = (
+        F.col(text_col)
+        if prefix is None
+        else F.substring(F.col(text_col), 1, prefix)
+    )
+    sizes = (
+        df.select(F.md5(key).alias("group_hash"))
+        .groupBy("group_hash")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )

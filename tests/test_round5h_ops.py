@@ -291,6 +291,37 @@ class TestJpColoring:
         assert max(col.values()) <= max(deg.values())  # <= Delta+1 colors
 
 
+class TestDupClusterHistogram:
+    def test_crafted_clusters(self, spark):
+        from graphriccicurvature_spark.operators.dedup import dup_cluster_histogram
+
+        docs = [
+            (0, "aaa"), (1, "aaa"), (2, "aaa"),   # cluster of 3
+            (3, "bbb"), (4, "bbb"),               # cluster of 2
+            (5, "ccc"), (6, "ddd"),               # two singletons
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+            for r in dup_cluster_histogram(df).collect()
+        }
+        assert got == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
+
+    def test_prefix_canonicalization_merges_heads(self, spark):
+        from graphriccicurvature_spark.operators.dedup import dup_cluster_histogram
+
+        df = spark.createDataFrame(
+            [(0, "same head X tail one"), (1, "same head X tail two")],
+            ["doc_id", "text"],
+        )
+        exact = {r["cluster_size"] for r in dup_cluster_histogram(df).collect()}
+        pref = {
+            r["cluster_size"]
+            for r in dup_cluster_histogram(df, prefix=11).collect()
+        }
+        assert exact == {1} and pref == {2}
+
+
 class TestRobustnessReport:
     def test_star_graph_shatters(self, spark):
         """A star: removing the single hub (k=1) drops the giant component
