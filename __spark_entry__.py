@@ -567,6 +567,14 @@ def _q_luby_mis(spark, sf):
     return luby_mis(und, rounds=4, priority="md5")
 
 
+def _q_square_count(spark, sf):
+    """Global 4-cycle count (bipartite-exchange graphlet) via the
+    codegree identity #C4 = (1/2) sum C(codeg, 2)."""
+    from graphriccicurvature_spark.operators.triangles import square_count
+
+    return square_count(edges_from_documents(spark, sf))
+
+
 def _q_dup_cluster_histogram(spark, sf):
     """Duplicate cluster-size histogram (dedup-threshold sheet) under
     the same 40-char-prefix canonicalization as contamination_40, so the
@@ -1828,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank_2": _q_simrank,
         "robustness_top10": _q_robustness,
         "dup_cluster_histogram": _q_dup_cluster_histogram,
+        "square_count": _q_square_count,
         "ngram_contamination_13": _q_ngram_contamination,
         "weighted_sample_25": _q_weighted_sample,
     }
@@ -4661,6 +4670,19 @@ def oracle_sql() -> dict[str, str]:
             for r in range(1, _MIS_ROUNDS + 1)
         )
     )
+    # Squares: wedge self-join -> codegree -> sum C(cn,2) / 2.
+    sql["square_count"] = f"""
+        WITH {_E}, {_UND},
+        wq AS (
+            SELECT s1.src AS u, s2.dst AS v, count(*) AS cn
+            FROM sym s1 JOIN sym s2 ON s2.src = s1.dst
+            WHERE s1.src < s2.dst
+            GROUP BY s1.src, s2.dst
+        )
+        SELECT CAST(sum(cn * (cn - 1) / 2) / 2 AS BIGINT) AS n_squares,
+               count(*) AS n_codegree_pairs
+        FROM wq
+    """
     # Robustness: top-10-degree hub removal, giant CC fraction before/after.
     sql["robustness_top10"] = f"""
         WITH RECURSIVE {_E}, {_UND},

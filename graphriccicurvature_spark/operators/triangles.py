@@ -143,3 +143,33 @@ def edge_embeddedness(edges: DataFrame) -> DataFrame:
         c.alias("common_neighbors"),
         F.when(denom > 0, c.cast("double") / denom).otherwise(F.lit(0.0)).alias("jaccard"),
     )
+
+
+def square_count(edges: DataFrame) -> DataFrame:
+    """Global 4-cycle (square) count: ``#C4 = (1/2) * sum over node pairs
+    {u,v} of C(codegree(u,v), 2)`` — every square is counted once per
+    diagonal pair and has exactly two diagonals. Squares are the
+    bipartite-exchange graphlet (link farms and mutual-promotion rings
+    are square-dense but can be triangle-free), so #C4 alongside
+    #triangles separates clique-like from bipartite-like density.
+
+    Shape: one self-join of the symmetrized edge table on the shared
+    middle node (the wedge enumeration triangle counting already pays —
+    Σ deg² rows, hub-capped upstream if needed), one map-side-combinable
+    codegree aggregate keyed by the (u,v) pair, one 1-row reduction.
+    Returns one row ``(n_squares, n_codegree_pairs)``.
+    """
+    und = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    sym = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    wedges = (
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("x"))
+        .join(sym.select(F.col("src").alias("x"), F.col("dst").alias("v")), "x")
+        .filter(F.col("u") < F.col("v"))
+    )
+    codeg = wedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cn"))
+    return codeg.agg(
+        (F.sum(F.col("cn") * (F.col("cn") - 1) / 2) / 2).cast("long").alias("n_squares"),
+        F.count(F.lit(1)).alias("n_codegree_pairs"),
+    )

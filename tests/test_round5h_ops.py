@@ -291,6 +291,49 @@ class TestJpColoring:
         assert max(col.values()) <= max(deg.values())  # <= Delta+1 colors
 
 
+class TestSquareCount:
+    @staticmethod
+    def _brute_c4(edges):
+        """Enumerate every 4-node subset; each contributes one C4 per
+        diagonal pairing whose four rim edges are present (up to 3)."""
+        from itertools import combinations
+
+        es = {frozenset(e) for e in edges}
+        nodes = sorted({u for e in edges for u in e})
+
+        def cyc(a, b, c, d):
+            # cycle a-c-b-d-a (diagonals {a,b} and {c,d})
+            return all(
+                frozenset(p) in es for p in [(a, c), (c, b), (b, d), (d, a)]
+            )
+
+        n = 0
+        for w, x, y, z in combinations(nodes, 4):
+            n += cyc(w, x, y, z) + cyc(w, y, x, z) + cyc(w, z, x, y)
+        return n
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_matches_subset_enumeration(self, spark, seed):
+        from graphriccicurvature_spark.operators.triangles import square_count
+
+        edges = _random_edges(seed, n=22, p=0.2)
+        df = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in edges], ["src", "dst", "weight"]
+        )
+        got = square_count(df).collect()[0]["n_squares"]
+        assert got == self._brute_c4(edges)
+
+    def test_single_square(self, spark):
+        from graphriccicurvature_spark.operators.triangles import square_count
+
+        df = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0)],
+            ["src", "dst", "weight"],
+        )
+        r = square_count(df).collect()[0]
+        assert r["n_squares"] == 1
+
+
 class TestDupClusterHistogram:
     def test_crafted_clusters(self, spark):
         from graphriccicurvature_spark.operators.dedup import dup_cluster_histogram
