@@ -567,6 +567,16 @@ def _q_luby_mis(spark, sf):
     return luby_mis(und, rounds=4, priority="md5")
 
 
+def _q_curation_funnel(spark, sf):
+    """End-to-end curation funnel: doc/token survival through input ->
+    exact dedup -> quality filter -> train decontamination, all four
+    stages replayed by ONE oracle (the composed pipeline, not just its
+    pieces, is under the value-level check)."""
+    from graphriccicurvature_spark.operators.filtering import curation_funnel
+
+    return curation_funnel(_docs(spark, sf))
+
+
 def _q_square_count(spark, sf):
     """Global 4-cycle count (bipartite-exchange graphlet) via the
     codegree identity #C4 = (1/2) sum C(codeg, 2)."""
@@ -1837,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustness_top10": _q_robustness,
         "dup_cluster_histogram": _q_dup_cluster_histogram,
         "square_count": _q_square_count,
+        "curation_funnel": _q_curation_funnel,
         "ngram_contamination_13": _q_ngram_contamination,
         "weighted_sample_25": _q_weighted_sample,
     }
@@ -3631,8 +3642,9 @@ def oracle_sql() -> dict[str, str]:
     # composed curation gate: every rule recomposed from the verified
     # repetition/quality/lang oracle algebra (thresholds = filtering.py
     # DEFAULT_RULES); reasons = comma-joined sorted failed-rule names
-    sql["doc_filter"] = f"""
-        WITH {_TOKS},
+    # document_filter verdict CTE chain (shared by doc_filter and
+    # curation_funnel): ends in verdict(doc_id, n_tokens, lang_pred, r)
+    filter_ctes = f"""
         base AS (
             SELECT d.doc_id, CAST(length(d.text) AS DOUBLE) AS n_chars,
                    CAST(length(regexp_replace(d.text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
@@ -3695,11 +3707,57 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN lang_pred <> 'en' THEN 'lang' END
                    ], x -> x IS NOT NULL)) AS r
             FROM feat
-        )
+        )"""
+    sql["doc_filter"] = f"""
+        WITH {_TOKS}, {filter_ctes}
         SELECT doc_id, n_tokens, lang_pred,
                len(r) = 0 AS keep,
                coalesce(array_to_string(r, ','), '') AS reasons
         FROM verdict
+    """
+    _split_case = """CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                        ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                        ELSE 'test' END"""
+    sql["curation_funnel"] = f"""
+        WITH {_TOKS}, {filter_ctes},
+        tok AS (SELECT doc_id, len(t) AS nt FROM toks),
+        ded AS MATERIALIZED (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        ),
+        kept AS MATERIALIZED (
+            SELECT v.doc_id FROM verdict v JOIN ded USING (doc_id)
+            WHERE len(v.r) = 0
+        ),
+        spl AS MATERIALIZED (
+            SELECT k.doc_id,
+                   md5(substring(d.text, 1, 40)) AS gh,
+                   {_split_case} AS split
+            FROM kept k JOIN documents d USING (doc_id)
+        ),
+        bad AS (SELECT gh FROM spl GROUP BY gh HAVING count(DISTINCT split) >= 2),
+        fin AS (
+            SELECT doc_id FROM spl
+            WHERE NOT (split = 'train' AND gh IN (SELECT gh FROM bad))
+        )
+        SELECT stage, stage_order, n_docs, n_tokens FROM (
+            SELECT 'input' AS stage, 1 AS stage_order,
+                   count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM tok
+            UNION ALL
+            SELECT 'exact_dedup', 2, count(*), CAST(sum(nt) AS BIGINT)
+            FROM ded JOIN tok USING (doc_id)
+            UNION ALL
+            SELECT 'quality_filter', 3, count(*), CAST(sum(nt) AS BIGINT)
+            FROM kept JOIN tok USING (doc_id)
+            UNION ALL
+            SELECT 'decontaminated', 4, count(*), CAST(sum(nt) AS BIGINT)
+            FROM fin JOIN tok USING (doc_id)
+        )
     """
     sql["corpus_quantiles"] = """
         WITH b AS (

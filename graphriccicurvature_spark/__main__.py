@@ -565,6 +565,10 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.mis import maximal_matching
 
         return maximal_matching(_load_edges(spark, args), rounds=args.rounds)
+    if op == "curation-funnel":
+        from .operators.filtering import curation_funnel
+
+        return curation_funnel(_load_docs(spark, args))
     if op == "coloring":
         from .operators.mis import jp_coloring
 
@@ -608,7 +612,7 @@ OPS = (
     "minhash-contamination spam-mass core-number bm25 pmi unigram-kl "
     "bib-coupling rich-club truss-number perplexity transitivity powerlaw "
     "keep-best mst dsir closeness louvain ngram-contamination weighted-sample "
-    "mis matching bpe-tokens coloring simrank"
+    "mis matching bpe-tokens coloring simrank curation-funnel"
 ).split()
 
 

@@ -236,3 +236,68 @@ def weighted_sample_topk(
         .limit(k)
     )
     return out
+
+
+def curation_funnel(docs: DataFrame, contamination_prefix: int = 40) -> DataFrame:
+    """The end-to-end corpus-curation funnel report: document and token
+    survival through each pipeline stage —
+
+        input -> exact dedup -> quality filter -> decontaminated
+
+    where decontamination drops TRAIN members of duplicate-prefix groups
+    that span split boundaries (GPT-3-style: clean the training split,
+    leave eval untouched). Returns
+    ``(stage, stage_order, n_docs, n_tokens)``, one row per stage — the
+    first sheet every curation run prints ("where did the tokens go?").
+
+    Scale shape: every stage reuses an already-shipped operator (exact
+    md5 dedup window, the row-local filter verdict, the prefix-group
+    contamination aggregate); stage memberships are id-only joins and
+    the report itself is four 1-row aggregates unioned — nothing beyond
+    the dedup/contamination shuffles the stages already cost, and no
+    stage result is ever collected.
+    """
+    from .dedup import exact_dedup
+    from .textstats import split_assignment, token_count
+
+    tok = docs.select(
+        F.col("doc_id"), token_count(F.col("text")).alias("nt")
+    )
+    ded = exact_dedup(docs).filter("is_survivor").select("doc_id")
+    kept = (
+        document_filter(docs)
+        .filter("keep")
+        .select("doc_id")
+        .join(ded, "doc_id")
+    )
+    spl = kept.join(
+        docs.select(
+            "doc_id",
+            F.md5(F.substring("text", 1, contamination_prefix)).alias("gh"),
+        ),
+        "doc_id",
+    ).withColumn("split", split_assignment("doc_id"))
+    bad = (
+        spl.groupBy("gh")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("gh")
+    )
+    fin = spl.join(bad.withColumn("contaminated", F.lit(True)), "gh", "left").filter(
+        ~((F.col("split") == "train") & F.col("contaminated").isNotNull())
+    ).select("doc_id")
+
+    def _stage(ids: DataFrame | None, name: str, order: int) -> DataFrame:
+        base = tok if ids is None else ids.join(tok, "doc_id")
+        return base.agg(
+            F.lit(name).alias("stage"),
+            F.lit(order).alias("stage_order"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    return (
+        _stage(None, "input", 1)
+        .union(_stage(ded, "exact_dedup", 2))
+        .union(_stage(kept, "quality_filter", 3))
+        .union(_stage(fin, "decontaminated", 4))
+    )

@@ -436,3 +436,16 @@ def test_cli_simrank(spark, tmp_path):
     df = spark.read.parquet(str(out))
     assert set(df.columns) == {"a", "b", "score"}
     assert df.filter("score <= 0 OR score > 0.81").count() == 0
+
+
+def test_cli_curation_funnel(spark, tmp_path):
+    out = tmp_path / "funnel"
+    main(["curation-funnel", "--docs", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    rows = {r["stage"]: r for r in df.collect()}
+    assert set(rows) == {"input", "exact_dedup", "quality_filter", "decontaminated"}
+    order = ["input", "exact_dedup", "quality_filter", "decontaminated"]
+    counts = [rows[s]["n_docs"] for s in order]
+    toks = [rows[s]["n_tokens"] for s in order]
+    assert counts == sorted(counts, reverse=True)
+    assert toks == sorted(toks, reverse=True)
