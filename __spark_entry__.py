@@ -567,6 +567,37 @@ def _q_luby_mis(spark, sf):
     return luby_mis(und, rounds=4, priority="md5")
 
 
+def _q_asof_purchase_click(spark, sf):
+    """As-of join: attribute each purchase event to the user's most
+    recent prior-or-equal click. The oracle is DuckDB's NATIVE ASOF
+    JOIN, so the union-and-carry composition is checked against a real
+    engine implementation of the semantics, not a hand re-derivation."""
+    from graphriccicurvature_spark.operators.temporal import asof_join_backward
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join_backward(
+        left,
+        right,
+        by=["user_id"],
+        right_value_cols=["event_id", "value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_r").alias("click_event_id"),
+        F.col("ts_r").alias("click_ts"),
+        F.round("value_r", 6).alias("click_value"),
+    )
+
+
 def _q_curation_funnel(spark, sf):
     """End-to-end curation funnel: doc/token survival through input ->
     exact dedup -> quality filter -> train decontamination, all four
@@ -1848,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_histogram": _q_dup_cluster_histogram,
         "square_count": _q_square_count,
         "curation_funnel": _q_curation_funnel,
+        "asof_purchase_click": _q_asof_purchase_click,
         "ngram_contamination_13": _q_ngram_contamination,
         "weighted_sample_25": _q_weighted_sample,
     }
@@ -4728,6 +4760,27 @@ def oracle_sql() -> dict[str, str]:
             for r in range(1, _MIS_ROUNDS + 1)
         )
     )
+    # As-of attribution: DuckDB's native ASOF JOIN is the oracle.
+    sql["asof_purchase_click"] = """
+        WITH rd AS (
+            SELECT * FROM (
+                SELECT event_id, user_id, ts, value,
+                       row_number() OVER (
+                           PARTITION BY user_id, ts ORDER BY event_id DESC
+                       ) AS rn
+                FROM events WHERE event_type = 'click'
+            ) WHERE rn = 1
+        )
+        SELECT l.event_id, l.user_id, l.ts,
+               rd.event_id AS click_event_id,
+               rd.ts AS click_ts,
+               round(rd.value, 6) AS click_value
+        FROM (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ) l
+        ASOF LEFT JOIN rd ON l.user_id = rd.user_id AND l.ts >= rd.ts
+    """
     # Squares: wedge self-join -> codegree -> sum C(cn,2) / 2.
     sql["square_count"] = f"""
         WITH {_E}, {_UND},
