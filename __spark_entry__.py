@@ -598,6 +598,33 @@ def _q_asof_purchase_click(spark, sf):
     )
 
 
+def _q_session_attribution(spark, sf):
+    """Range join (bucketed equi-join rewrite): stamp every error event
+    with the session interval containing it; the oracle runs the plain
+    inequality join over the same gaps-and-islands session table."""
+    from graphriccicurvature_spark.operators.temporal import range_join_points
+    from graphriccicurvature_spark.streaming.events import (
+        session_event_counts_batch,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    sessions = session_event_counts_batch(ev).select(
+        "user_id",
+        F.col("session_start").alias("start"),
+        F.col("session_end").alias("end"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return range_join_points(errors, sessions, by=["user_id"]).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("start").alias("session_start"),
+        F.col("end").alias("session_end"),
+    )
+
+
 def _q_curation_funnel(spark, sf):
     """End-to-end curation funnel: doc/token survival through input ->
     exact dedup -> quality filter -> train decontamination, all four
@@ -1880,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "square_count": _q_square_count,
         "curation_funnel": _q_curation_funnel,
         "asof_purchase_click": _q_asof_purchase_click,
+        "session_attribution": _q_session_attribution,
         "ngram_contamination_13": _q_ngram_contamination,
         "weighted_sample_25": _q_weighted_sample,
     }
@@ -4760,6 +4788,39 @@ def oracle_sql() -> dict[str, str]:
             for r in range(1, _MIS_ROUNDS + 1)
         )
     )
+    # Range join: errors into their containing session (inequality join
+    # over the gaps-and-islands session table is the oracle).
+    sql["session_attribution"] = """
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM o
+        ),
+        sess AS (
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end
+            FROM s GROUP BY user_id, sid
+        )
+        SELECT e.event_id, e.user_id, e.ts, x.session_start, x.session_end
+        FROM (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+        ) e
+        JOIN sess x ON e.user_id = x.user_id
+                   AND e.ts >= x.session_start AND e.ts < x.session_end
+    """
     # As-of attribution: DuckDB's native ASOF JOIN is the oracle.
     sql["asof_purchase_click"] = """
         WITH rd AS (
