@@ -489,6 +489,42 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         return session_event_counts_batch(
             spark.read.parquet(args.events), gap=args.gap
         )
+    if op == "asof-join":
+        from pyspark.sql import functions as F
+
+        from .operators.temporal import asof_join_backward
+
+        if not args.events:
+            sys.exit("asof-join needs --events (event_id,ts,user_id,value parquet)")
+        ev = spark.read.parquet(args.events)
+        return asof_join_backward(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts", "value"
+            ),
+            ev.filter(F.col("event_type") == "click").select(
+                "event_id", "user_id", "ts", "value"
+            ),
+            by=["user_id"],
+            right_value_cols=["event_id", "value"],
+            tiebreak_col="event_id",
+        )
+    if op == "range-join":
+        from pyspark.sql import functions as F
+
+        from .operators.temporal import range_join_points
+        from .streaming.events import session_event_counts_batch
+
+        if not args.events:
+            sys.exit("range-join needs --events (event_id,ts,user_id,value parquet)")
+        ev = spark.read.parquet(args.events)
+        sessions = session_event_counts_batch(ev, gap=args.gap).select(
+            "user_id",
+            F.col("session_start").alias("start"),
+            F.col("session_end").alias("end"),
+        )
+        return range_join_points(
+            ev.select("event_id", "user_id", "ts"), sessions, by=["user_id"]
+        )
     if op == "bm25":
         from .operators.textstats import bm25_topk
 
@@ -565,6 +601,18 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.mis import maximal_matching
 
         return maximal_matching(_load_edges(spark, args), rounds=args.rounds)
+    if op == "square-count":
+        from .operators.triangles import square_count
+
+        return square_count(_load_edges(spark, args))
+    if op == "dup-histogram":
+        from .operators.dedup import dup_cluster_histogram
+
+        return dup_cluster_histogram(_load_docs(spark, args))
+    if op == "robustness":
+        from .operators.webgraph import robustness_report
+
+        return robustness_report(_load_edges(spark, args), k=args.k)
     if op == "curation-funnel":
         from .operators.filtering import curation_funnel
 
@@ -612,7 +660,8 @@ OPS = (
     "minhash-contamination spam-mass core-number bm25 pmi unigram-kl "
     "bib-coupling rich-club truss-number perplexity transitivity powerlaw "
     "keep-best mst dsir closeness louvain ngram-contamination weighted-sample "
-    "mis matching bpe-tokens coloring simrank curation-funnel"
+    "mis matching bpe-tokens coloring simrank curation-funnel asof-join "
+    "range-join square-count dup-histogram robustness"
 ).split()
 
 

@@ -449,3 +449,30 @@ def test_cli_curation_funnel(spark, tmp_path):
     toks = [rows[s]["n_tokens"] for s in order]
     assert counts == sorted(counts, reverse=True)
     assert toks == sorted(toks, reverse=True)
+
+
+def test_cli_asof_and_range_join(spark, tmp_path):
+    ev = "/root/testdata/sf0.001/events.parquet"
+    out1 = tmp_path / "asof"
+    main(["asof-join", "--events", ev, "--output", str(out1)])
+    df1 = spark.read.parquet(str(out1))
+    assert {"event_id", "user_id", "ts", "event_id_r", "value_r", "ts_r"} <= set(df1.columns)
+    out2 = tmp_path / "rj"
+    main(["range-join", "--events", ev, "--output", str(out2)])
+    df2 = spark.read.parquet(str(out2))
+    # every event lands in exactly one of its user's sessions
+    n_ev = spark.read.parquet(ev).count()
+    assert df2.count() == n_ev
+
+
+def test_cli_square_dup_robustness(spark, tmp_path):
+    out = tmp_path / "sq"
+    main(["square-count", "--docs", SF, "--output", str(out)])
+    assert spark.read.parquet(str(out)).collect()[0]["n_squares"] >= 0
+    out2 = tmp_path / "dh"
+    main(["dup-histogram", "--docs", SF, "--output", str(out2)])
+    assert spark.read.parquet(str(out2)).count() >= 1
+    out3 = tmp_path / "rb"
+    main(["robustness", "--docs", SF, "--output", str(out3), "--k", "3"])
+    r = spark.read.parquet(str(out3)).collect()[0]
+    assert r["giant_after"] <= r["giant_before"]
