@@ -287,17 +287,41 @@ def curation_funnel(docs: DataFrame, contamination_prefix: int = 40) -> DataFram
         ~((F.col("split") == "train") & F.col("contaminated").isNotNull())
     ).select("doc_id")
 
-    def _stage(ids: DataFrame | None, name: str, order: int) -> DataFrame:
-        base = tok if ids is None else ids.join(tok, "doc_id")
-        return base.agg(
-            F.lit(name).alias("stage"),
-            F.lit(order).alias("stage_order"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("nt").alias("n_tokens"),
-        )
-    return (
-        _stage(None, "input", 1)
-        .union(_stage(ded, "exact_dedup", 2))
-        .union(_stage(kept, "quality_filter", 3))
-        .union(_stage(fin, "decontaminated", 4))
+    # ONE pass: stage memberships become flags on the token table, the
+    # report is a single 8-scalar aggregate unpivoted to 4 rows — four
+    # separate per-stage aggregates would re-evaluate the shared
+    # dedup/filter lineage once each (4 corpus passes instead of 1).
+    j = (
+        tok.join(ded.withColumn("_d", F.lit(1)), "doc_id", "left")
+        .join(kept.withColumn("_k", F.lit(1)), "doc_id", "left")
+        .join(fin.withColumn("_f", F.lit(1)), "doc_id", "left")
+    )
+    one = j.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("nt").alias("t0"),
+        F.count("_d").alias("n1"),
+        F.sum(F.col("nt") * F.col("_d")).alias("t1"),
+        F.count("_k").alias("n2"),
+        F.sum(F.col("nt") * F.col("_k")).alias("t2"),
+        F.count("_f").alias("n3"),
+        F.sum(F.col("nt") * F.col("_f")).alias("t3"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("stage"),
+                F.lit(order).alias("stage_order"),
+                F.col(n).alias("n_docs"),
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias("n_tokens"),
+            )
+            for name, order, n, t in [
+                ("input", 1, "n0", "t0"),
+                ("exact_dedup", 2, "n1", "t1"),
+                ("quality_filter", 3, "n2", "t2"),
+                ("decontaminated", 4, "n3", "t3"),
+            ]
+        ]
+    )
+    return one.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.stage_order", "s.n_docs", "s.n_tokens"
     )
