@@ -81,6 +81,11 @@ def main():
             "double": "float", "float": "float",
             "string": "str", "boolean": "bool", "binary": "binary",
             "timestamp": "timestamp", "date": "timestamp",
+            # tz-naive Spark timestamps map to the same Arrow
+            # timestamp('us') (no tz field) as DuckDB TIMESTAMP — the
+            # driver's value-hash sees identical columns (events_window
+            # hash-passed with this shape), so it is the same class
+            "timestamp_ntz": "timestamp",
         }
         msgs = []
         for c, st in s_types.items():
