@@ -1922,8 +1922,8 @@ _E = edges_sql_cte("documents")
 _TOKS = """
 toks AS (
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+           CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') END AS t
     FROM documents
 )"""
 
@@ -2184,8 +2184,8 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["ngram_jaccard"] = """
         WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-            FROM documents WHERE trim(text) <> ''
+            SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS t
+            FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> ''
         ),
         sh AS (
             SELECT doc_id,
@@ -2310,12 +2310,12 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["token_stats"] = """
         SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-               round(CASE WHEN trim(text) = '' THEN 0.0
+               CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) END AS n_tokens,
+               round(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0.0
                     ELSE list_sum([CAST(length(x) AS DOUBLE)
-                                   FOR x IN regexp_split_to_array(trim(text), '\\s+')])
-                         / len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS avg_token_len
+                                   FOR x IN regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')])
+                         / len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) END, 6) AS avg_token_len
         FROM documents
     """
     sql["repetition_stats"] = f"""
@@ -2381,8 +2381,8 @@ def oracle_sql() -> dict[str, str]:
                         ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
                         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
                         ELSE 'test' END AS split,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+                   CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+')) END AS nt
             FROM documents
         ) GROUP BY split
     """
@@ -2426,16 +2426,16 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["bpe_tokens"] = r"""
         SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+               CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END AS n_ws_tokens,
                len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
                    AS n_bpe_tokens,
-               round(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+               round(CASE WHEN (CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END) > 0
                      THEN len(regexp_extract_all(text,
                           ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
-                          / CAST(CASE WHEN trim(text) = '' THEN 0
-                                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                          / CAST(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END
                                  AS DOUBLE)
                      ELSE 0.0 END, 6) AS fertility
         FROM documents
@@ -2444,8 +2444,8 @@ def oracle_sql() -> dict[str, str]:
     sql["quality"] = f"""
         WITH q AS (
             SELECT doc_id, text,
-                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+                   CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') END AS toks,
                    CAST(length(text) AS DOUBLE) AS n_chars,
                    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
                    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
@@ -2550,7 +2550,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
                count(*) AS n_pages,
                count(DISTINCT lang) AS n_langs,
-               CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens_total
+               CAST(sum(len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+'))) AS BIGINT) AS n_tokens_total
         FROM pg GROUP BY host
     """
     # ATD curvature on the unit-weight documents graph: exact BFS distances
@@ -3822,8 +3822,8 @@ def oracle_sql() -> dict[str, str]:
     sql["corpus_quantiles"] = """
         WITH b AS (
             SELECT lang AS grp,
-                   CAST(CASE WHEN trim(text) = '' THEN 0
-                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   CAST(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+'))
                         END AS DOUBLE) AS nt,
                    CAST(length(text) AS DOUBLE) AS nc
             FROM documents
@@ -4045,8 +4045,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id,
                    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                        % 8 AS bucket,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+'))
                    END AS n_tokens
             FROM documents
         ),
@@ -4444,8 +4444,8 @@ def oracle_sql() -> dict[str, str]:
         clus AS (SELECT node AS doc_id, label AS cluster FROM lab WHERE iter = 40),
         qraw AS (
             SELECT doc_id, text,
-                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+                   CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') END AS toks,
                    CAST(length(text) AS DOUBLE) AS n_chars,
                    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
                    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha

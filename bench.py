@@ -204,6 +204,16 @@ def run_bench(spark) -> dict:
     )
     queries["ann_cosine_brute"] = t
 
+    from graphriccicurvature_spark.operators.linkgraph import simrank
+
+    t, _ = _time(lambda: simrank(edges, num_iterations=2).count())
+    queries["simrank_2"] = t
+
+    from graphriccicurvature_spark.operators.filtering import curation_funnel
+
+    t, _ = _time(lambda: curation_funnel(docs).count())
+    queries["curation_funnel"] = t
+
     # flagship flow loop (VERDICT r2 item 7): seconds/round + rounds-to-
     # converge for ego mode (the 100 TB configuration) at SF_DIR, capped at
     # 8 rounds; component (exact/parity) mode is measured at sf0.01 because

@@ -21,9 +21,17 @@ LANG_STOPWORDS = {
 }
 
 
+# the Java/RE2 \s set — btrim with this set strips ALL edge whitespace,
+# where plain trim() strips only ' ' and leaves leading/trailing
+# tabs/newlines to produce phantom empty tokens (split keeps leading
+# empties, and Spark's limit=-1 keeps trailing ones too: real crawl
+# text ends in '\n', so every such doc would count one token too many)
+_WS_CHARS = " \t\n\x0b\x0c\r"
+
+
 def tokens(text_col) -> Column:
-    """Whitespace tokenization; empty text -> empty array."""
-    t = F.trim(text_col)
+    """Whitespace tokenization; empty/whitespace-only text -> empty array."""
+    t = F.btrim(text_col, F.lit(_WS_CHARS))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
