@@ -67,3 +67,44 @@ def test_robustness_no_python_and_klimit_is_top_k(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     # the hub selection must be a distributed top-k, not a global sort
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_asof_join_one_shuffle_no_range_explosion(spark):
+    """The union-and-carry as-of join must plan as window-over-union:
+    no nested-loop/cartesian (the naive inequality-join shape) and no
+    Python eval. Each right row ships once — the plan's only joins are
+    none at all (union + window)."""
+    from graphriccicurvature_spark.operators.temporal import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")], "k long, ts long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 18, 200.0), (2, 15, 300.0)], "k long, ts long, rv double"
+    )
+    p = _plan(asof_join_backward(left, right, by=["k"], ts_col="ts"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" in p, p
+    # the left-vs-right pairing is carried by the window, never a join
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+def test_curation_funnel_single_final_aggregate_no_python(spark):
+    """The funnel report must stay one unpivoted aggregate over flag
+    joins (PLANS.md claim): no Python eval anywhere, no cartesian, and
+    exactly one final single-row HashAggregate feeding the 4-row
+    explode (not four per-stage corpus passes)."""
+    from graphriccicurvature_spark.operators.filtering import curation_funnel
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox %d jumps over the lazy dog" % (i % 7))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    p = _plan(curation_funnel(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Generate" in p, p  # the unpivot explode of the 8-scalar row
