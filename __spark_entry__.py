@@ -652,6 +652,45 @@ def _q_dup_cluster_histogram(spark, sf):
     return dup_cluster_histogram(_docs(spark, sf), prefix=40)
 
 
+def _q_paragraph_dedup(spark, sf):
+    """RefinedWeb/CCNet-style exact paragraph dedup. The synthetic docs
+    are single-paragraph, so the query first re-chunks each document into
+    6-word paragraphs (pure column algebra, replayed verbatim by the
+    oracle) and then removes every paragraph appearing in >= 2 distinct
+    documents, reassembling the survivors in order."""
+    from graphriccicurvature_spark.operators.dedup import paragraph_dedup
+
+    docs = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / F.lit(6.0)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(words, i * 6 + 1, 6), " "),
+    )
+    chunked = docs.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+    return paragraph_dedup(chunked, sep="\n\n", min_docs=2).select(
+        "doc_id", "text", "n_paragraphs", "n_removed"
+    )
+
+
+def _q_snapshot_dedup(spark, sf):
+    """Recrawl snapshot dedup: pages plus a one-day-later recrawl of every
+    page under a tracking-param URL alias; keep the newest snapshot per
+    canonical URL. The oracle replays the url/warc_ts formulas plus the
+    full normalize_url rule set and the same (ts DESC, url ASC) window."""
+    from graphriccicurvature_spark.operators.dedup import snapshot_dedup
+
+    pages = _pages_of(spark, sf).select("url", "warc_ts")
+    recrawl = pages.select(
+        F.concat(F.col("url"), F.lit("?utm_source=feed")).alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+    )
+    return snapshot_dedup(pages.unionByName(recrawl)).select(
+        "url", "canonical_url", "is_latest"
+    )
+
+
 def _q_robustness(spark, sf):
     """Hub-removal robustness report (giant-component fraction before/
     after deleting the top-10 degree hubs); oracle replays the top-k and
@@ -1912,6 +1951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_sample": _q_host_sample,
         "ngram_contamination_13": _q_ngram_contamination,
         "weighted_sample_25": _q_weighted_sample,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "snapshot_dedup": _q_snapshot_dedup,
     }
 
 
@@ -5025,5 +5066,64 @@ def oracle_sql() -> dict[str, str]:
                round(pd.log_ratio, 6) AS log_ratio,
                round(pd.log_ratio / pd.dl, 6) AS avg_log_ratio
         FROM documents d LEFT JOIN pd ON pd.id = d.doc_id
+    """
+    # RefinedWeb-style paragraph dedup over 6-word re-chunked documents:
+    # the chunking, the >=2-distinct-docs removal rule and the in-order
+    # reassembly are all replayed value-for-value.
+    sql["paragraph_dedup"] = """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        p AS (
+            SELECT doc_id, CAST(j.j AS BIGINT) AS pos,
+                   array_to_string(ws[j.j*6+1 : j.j*6+6], ' ') AS para
+            FROM w, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(ws) / 6.0) AS BIGINT))) AS j
+            ) j
+        ),
+        pp AS (SELECT * FROM p WHERE para <> ''),
+        c AS (
+            SELECT md5(para) AS h, count(DISTINCT doc_id) AS para_df
+            FROM pp GROUP BY 1
+        ),
+        k AS (
+            SELECT pp.doc_id, pp.pos, pp.para
+            FROM pp JOIN c ON md5(pp.para) = c.h
+            WHERE c.para_df < 2
+        ),
+        t AS (SELECT doc_id, count(*) AS n_paragraphs FROM pp GROUP BY 1),
+        ka AS (
+            SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+                   count(*) AS n_kept
+            FROM k GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(ka.text, '') AS text,
+               CAST(coalesce(t.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+               CAST(coalesce(t.n_paragraphs, 0) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
+        FROM documents d
+        LEFT JOIN t USING (doc_id) LEFT JOIN ka USING (doc_id)
+    """
+    # recrawl snapshot dedup: base pages + a 1-day-later recrawl under a
+    # ?utm_source=feed alias; newest snapshot per canonical URL wins.
+    _SNAP_URL = _URL.format(i="i")
+    sql["snapshot_dedup"] = f"""
+        WITH base AS (
+            SELECT {_SNAP_URL} AS url,
+                   TIMESTAMP '2026-01-01 00:00:00' + i * INTERVAL 1 SECOND AS warc_ts
+            FROM (SELECT doc_id AS i FROM documents) t
+        ),
+        snaps AS (
+            SELECT url, warc_ts FROM base
+            UNION ALL
+            SELECT url || '?utm_source=feed', warc_ts + INTERVAL 1 DAY FROM base
+        ),
+        canon AS (
+            SELECT url, warc_ts, {normalize_url_sql('url')} AS canonical_url
+            FROM snaps
+        )
+        SELECT url, canonical_url,
+               row_number() OVER (
+                   PARTITION BY canonical_url ORDER BY warc_ts DESC, url ASC
+               ) = 1 AS is_latest
+        FROM canon
     """
     return sql

@@ -583,3 +583,107 @@ def dup_cluster_histogram(
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """RefinedWeb/CCNet-style exact paragraph dedup: split each document
+    on ``sep``, drop every paragraph that occurs in >= ``min_docs``
+    DISTINCT documents corpus-wide (boilerplate: nav bars, footers,
+    cookie banners, license blurbs), and reassemble the survivors in
+    original order. This is the line-level twin of document-level
+    :func:`exact_dedup` — the reference has no analog (pure pipeline
+    extension; cf. RefinedWeb sec. 3.3 "line-wise corrections" and the
+    CCNet paragraph-hash stage).
+
+    Plan shape (all whole-stage codegen, no UDFs): posexplode(split) ->
+    md5 per paragraph -> count(DISTINCT doc) per hash (map-side partial
+    agg) -> broadcast-or-shuffle hash join back -> groupBy(doc) with a
+    sort_array(collect_list(struct(pos, para))) reassembly. The only
+    per-group state is one document's own paragraph list — bounded by
+    document size, never by corpus size, so the reassembly cannot skew
+    at 100 TB. A paragraph repeated WITHIN one document only (df = 1)
+    survives in every copy, matching the reference pipelines (they key
+    removal on document frequency, not raw occurrence count).
+
+    Returns (id, text, n_paragraphs, n_removed) — ``text`` is the
+    deduplicated document ('' if every paragraph was boilerplate).
+    """
+    import re as _re
+
+    parts = (
+        df.select(F.col(id_col), F.posexplode(F.split(F.col(text_col), _re.escape(sep))))
+        .withColumnRenamed("col", "para")
+        .filter(F.col("para") != "")
+        .withColumn("h", F.md5(F.col("para")))
+    )
+    docfreq = parts.groupBy("h").agg(
+        F.countDistinct(F.col(id_col)).alias("para_df")
+    )
+    kept = (
+        parts.join(docfreq, "h")
+        .filter(F.col("para_df") < F.lit(min_docs))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = parts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_paragraphs"), F.lit(0)).alias("n_paragraphs"),
+            (
+                F.coalesce(F.col("n_paragraphs"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
+
+
+def snapshot_dedup(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Recrawl snapshot dedup: keep the NEWEST snapshot per canonical
+    URL. A Common-Crawl-style corpus holds many fetches of the same page
+    across crawls (and under URL aliases — tracking params, default
+    ports, trailing slashes); every downstream stage (dedup, link graph,
+    host rollups) wants exactly one row per logical page. Canonicalizes
+    with :func:`~..urltools.normalize_url` (pure codegen) and flags
+    ``row_number() == 1`` over (canonical_url ORDER BY ts DESC, url ASC)
+    — the url ASC tie-break makes equal-timestamp fetches deterministic.
+
+    One window over the canonical-url hash partitioning; no UDFs, no
+    driver state. Hot canonical URLs are bounded by recrawl count (tens),
+    not corpus size, so the window partition cannot skew.
+
+    Returns the input columns plus (canonical_url, is_latest); filter
+    ``is_latest`` for the survivor snapshot set.
+    """
+    from .urltools import normalize_url
+
+    canon = pages.withColumn("canonical_url", normalize_url(url_col))
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.desc(ts_col), F.asc(url_col)
+    )
+    return canon.withColumn(
+        "is_latest", F.row_number().over(w) == 1
+    )

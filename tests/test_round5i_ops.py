@@ -1,0 +1,96 @@
+"""Round-5i operators: RefinedWeb/CCNet-style exact paragraph dedup
+(`paragraph_dedup`) and recrawl snapshot dedup (`snapshot_dedup`) —
+semantic unit tests against hand-computed expectations.
+
+Driver-level DuckDB value oracles: `paragraph_dedup` (6-word re-chunked
+documents), `snapshot_dedup` (url/warc_ts formula replay + the full
+normalize_url rule set).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from graphriccicurvature_spark.operators.dedup import paragraph_dedup, snapshot_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
+    footer = "all rights reserved"
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta\n\n" + footer),
+            (2, "gamma delta\n\n" + footer),
+            (3, "unique page three"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["text"] == "alpha beta"
+    assert out[2]["text"] == "gamma delta"
+    assert out[3]["text"] == "unique page three"
+    assert out[1]["n_paragraphs"] == 2 and out[1]["n_removed"] == 1
+    assert out[3]["n_paragraphs"] == 1 and out[3]["n_removed"] == 0
+
+
+def test_paragraph_dedup_within_doc_repeat_survives(spark):
+    """df counts DISTINCT documents: a paragraph repeated only inside one
+    document is not boilerplate and every copy survives, in order."""
+    df = _docs(spark, [(1, "echo\n\nmiddle\n\necho"), (2, "other text")])
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["text"] == "echo\n\nmiddle\n\necho"
+    assert out[1]["n_removed"] == 0
+
+
+def test_paragraph_dedup_all_boilerplate_doc_empties(spark):
+    df = _docs(spark, [(1, "spam"), (2, "spam"), (3, "spam\n\nham")])
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["text"] == "" and out[1]["n_removed"] == 1
+    assert out[2]["text"] == ""
+    assert out[3]["text"] == "ham" and out[3]["n_paragraphs"] == 2
+
+
+def test_paragraph_dedup_min_docs_threshold(spark):
+    df = _docs(spark, [(1, "dup"), (2, "dup"), (3, "dup")])
+    loose = {r["doc_id"]: r["text"] for r in paragraph_dedup(df, min_docs=4).collect()}
+    assert loose == {1: "dup", 2: "dup", 3: "dup"}
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_snapshot_dedup_keeps_newest_per_canonical(spark):
+    rows = [
+        ("https://a.example/p/1", _ts("2026-01-01T00:00:00")),
+        ("https://a.example/p/1?utm_source=feed", _ts("2026-01-02T00:00:00")),
+        ("HTTP://A.example:80/p/1#frag", _ts("2026-01-03T00:00:00")),
+        ("https://b.example/q", _ts("2026-01-01T00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts"])
+    out = snapshot_dedup(df).collect()
+    latest = {r["url"]: r["is_latest"] for r in out}
+    canon = {r["url"]: r["canonical_url"] for r in out}
+    # the three aliases collapse onto one canonical page each way
+    assert canon["https://a.example/p/1?utm_source=feed"] == "https://a.example/p/1"
+    assert canon["HTTP://A.example:80/p/1#frag"] == "http://a.example/p/1"
+    # http vs https differ in scheme, so the 01-03 fetch is its own page
+    assert latest["HTTP://A.example:80/p/1#frag"] is True
+    assert latest["https://a.example/p/1?utm_source=feed"] is True
+    assert latest["https://a.example/p/1"] is False
+    assert latest["https://b.example/q"] is True
+    assert sum(1 for r in out if r["is_latest"]) == 3
+
+
+def test_snapshot_dedup_equal_ts_tiebreak_is_url_asc(spark):
+    t = _ts("2026-01-01T00:00:00")
+    df = spark.createDataFrame(
+        [("https://c.example/x?gclid=1", t), ("https://c.example/x", t)],
+        ["url", "warc_ts"],
+    )
+    out = {r["url"]: r["is_latest"] for r in snapshot_dedup(df).collect()}
+    assert out["https://c.example/x"] is True
+    assert out["https://c.example/x?gclid=1"] is False
