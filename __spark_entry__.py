@@ -674,6 +674,17 @@ def _q_paragraph_dedup(spark, sf):
     )
 
 
+def _q_ngram_containment(spark, sf):
+    """Directed subset-duplication pairs: word-2-gram containment >= 0.6.
+    The oracle reuses the verified ngram_jaccard algebra with the
+    asymmetric |Sa n Sb| / |Sa| normalization, both directions."""
+    from graphriccicurvature_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_docs(spark, sf), k=2, threshold=0.6).select(
+        "contained", "container", F.round("containment", 6).alias("containment")
+    )
+
+
 def _q_snapshot_dedup(spark, sf):
     """Recrawl snapshot dedup: pages plus a one-day-later recrawl of every
     page under a tracking-param URL alias; keep the newest snapshot per
@@ -1953,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_25": _q_weighted_sample,
         "paragraph_dedup": _q_paragraph_dedup,
         "snapshot_dedup": _q_snapshot_dedup,
+        "ngram_containment": _q_ngram_containment,
     }
 
 
@@ -5101,6 +5113,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(t.n_paragraphs, 0) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
         FROM documents d
         LEFT JOIN t USING (doc_id) LEFT JOIN ka USING (doc_id)
+    """
+    # directed containment twin of the ngram_jaccard oracle: same
+    # inverted-index intersection counts, asymmetric normalization,
+    # both directions stacked.
+    sql["ngram_containment"] = """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') AS t
+            FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> ''
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS shset
+            FROM toks WHERE len(t) >= 2
+        ),
+        sizes AS (SELECT doc_id, len(shset) AS sz FROM sh),
+        inv AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+        pair_inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+            FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        ),
+        directed AS (
+            SELECT a AS contained, b AS container,
+                   CAST(inter AS DOUBLE) / sa.sz AS containment
+            FROM pair_inter
+            JOIN sizes sa ON sa.doc_id = a
+            UNION ALL
+            SELECT b AS contained, a AS container,
+                   CAST(inter AS DOUBLE) / sb.sz AS containment
+            FROM pair_inter
+            JOIN sizes sb ON sb.doc_id = b
+        )
+        SELECT contained, container, round(containment, 6) AS containment
+        FROM directed WHERE containment >= 0.6
     """
     # recrawl snapshot dedup: base pages + a 1-day-later recrawl under a
     # ?utm_source=feed alias; newest snapshot per canonical URL wins.

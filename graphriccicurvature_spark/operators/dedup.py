@@ -687,3 +687,67 @@ def snapshot_dedup(
     return canon.withColumn(
         "is_latest", F.row_number().over(w) == 1
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 10000,
+) -> DataFrame:
+    """Asymmetric near-dup: directed pairs where containment(a in b) =
+    |S_a intersect S_b| / |S_a| >= threshold. Jaccard misses a short
+    document quoted wholesale inside a long one (the union term swamps
+    the overlap); containment is the standard subset-duplication
+    detector (Broder 1997's resemblance vs containment split) and is
+    what quote/wrapper audits over training corpora key on.
+
+    Same inverted-index candidate generation and DF cut as
+    :func:`ngram_jaccard_pairs` (one shared scan shape at 100 TB: the
+    boilerplate-shingle cartesian bomb is cut identically), then both
+    directed containments are verified exactly on the full hashed
+    shingle sets. Returns (contained, container, containment).
+    """
+    sh = word_shingles(F.col(text_col), k)
+    docs = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("shset"),
+    ).filter(F.size("shset") > 0)
+    inv = docs.select("id", F.explode("shset").alias("s"))
+    rare = inv.join(
+        inv.groupBy("s").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_shingle_df),
+        "s",
+        "left_semi",
+    )
+    cands = (
+        rare.alias("x")
+        .join(rare.alias("y"), "s")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    verified = (
+        cands.join(docs.select(F.col("id").alias("a"), F.col("shset").alias("sa")), "a")
+        .join(docs.select(F.col("id").alias("b"), F.col("shset").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
+    )
+    directed = verified.select(
+        F.col("a").alias("contained"),
+        F.col("b").alias("container"),
+        (F.col("inter") / F.col("na")).alias("containment"),
+    ).unionByName(
+        verified.select(
+            F.col("b").alias("contained"),
+            F.col("a").alias("container"),
+            (F.col("inter") / F.col("nb")).alias("containment"),
+        )
+    )
+    return directed.filter(F.col("containment") >= threshold)

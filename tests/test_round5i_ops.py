@@ -94,3 +94,36 @@ def test_snapshot_dedup_equal_ts_tiebreak_is_url_asc(spark):
     out = {r["url"]: r["is_latest"] for r in snapshot_dedup(df).collect()}
     assert out["https://c.example/x"] is True
     assert out["https://c.example/x?gclid=1"] is False
+
+
+def test_ngram_containment_detects_subset_quote(spark):
+    """A short doc quoted inside a long one: containment(short in long)
+    is 1.0 while Jaccard stays below any dedup threshold."""
+    from graphriccicurvature_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"w{i} x{i}" for i in range(30))
+    df = spark.createDataFrame([(1, short), (2, long_)], ["doc_id", "text"])
+    got = {
+        (r["contained"], r["container"]): r["containment"]
+        for r in ngram_containment_pairs(df, k=2, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    jac = ngram_jaccard_pairs(df, k=2, threshold=0.0).collect()
+    assert len(jac) == 1 and jac[0]["jaccard"] < 0.1
+
+
+def test_ngram_containment_is_directed_and_thresholded(spark):
+    from graphriccicurvature_spark.operators.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e f g h")], ["doc_id", "text"]
+    )
+    rows = ngram_containment_pairs(df, k=2, threshold=0.5).collect()
+    d = {(r["contained"], r["container"]): r["containment"] for r in rows}
+    # S1 = {ab,bc,cd} fully inside S2 (7 bigrams): 3/3 one way, 3/7 the other
+    assert d[(1, 2)] == 1.0
+    assert (2, 1) not in d
