@@ -674,6 +674,33 @@ def _q_paragraph_dedup(spark, sf):
     )
 
 
+def _q_ppr_sweep(spark, sf):
+    """Andersen-Chung-Lang local-community sweep around the trust-seed
+    set (node % 13 == 0): PPR over the symmetrized graph, nodes ranked
+    by ppr/deg, conductance of every prefix of the top-25 sweep order.
+    The oracle replays the undirected PPR recursion and the identical
+    window algebra (cumulative volume, max-rank edge histogram)."""
+    from graphriccicurvature_spark.operators.linkgraph import ppr_sweep
+    from graphriccicurvature_spark.sources.edges import canonicalize
+
+    e = canonicalize(edges_from_documents(spark, sf))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % _PPR_SEED_MOD == 0)
+    out = ppr_sweep(e, seeds, damping=_DAMP, num_iterations=3, max_prefix=25)
+    return out.select(
+        "rank",
+        "node",
+        F.round("ppr", 6).alias("ppr"),
+        "volume",
+        "cut_weight",
+        F.round("conductance", 6).alias("conductance"),
+    )
+
+
 def _q_ngram_containment(spark, sf):
     """Directed subset-duplication pairs: word-2-gram containment >= 0.6.
     The oracle reuses the verified ngram_jaccard algebra with the
@@ -1965,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "snapshot_dedup": _q_snapshot_dedup,
         "ngram_containment": _q_ngram_containment,
+        "ppr_sweep_25": _q_ppr_sweep,
     }
 
 
@@ -5113,6 +5141,69 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(t.n_paragraphs, 0) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
         FROM documents d
         LEFT JOIN t USING (doc_id) LEFT JOIN ka USING (doc_id)
+    """
+    # ACL local-community sweep: undirected PPR recursion (no dangling
+    # nodes on the symmetrized graph), ppr/deg ranking with node-asc tie
+    # break, then the identical cumulative-volume / max-rank-histogram
+    # window algebra.
+    sql["ppr_sweep_25"] = f"""
+        WITH RECURSIVE {_E}, {_UND},
+        symw AS (SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM sym),
+        wdeg AS (SELECT src AS node, sum(weight) AS wdeg FROM symw GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM wdeg),
+        seeds AS (SELECT node FROM wdeg WHERE node % {_PPR_SEED_MOD} = 0),
+        sn AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM seeds),
+        svec AS (
+            SELECT w.node,
+                   CASE WHEN s.node IS NULL THEN 0.0
+                        ELSE 1.0 / (SELECT m FROM sn) END AS s
+            FROM wdeg w LEFT JOIN seeds s ON s.node = w.node
+        ),
+        fe AS (
+            SELECT e.src, e.dst, e.weight / o.wdeg AS p
+            FROM symw e JOIN wdeg o ON o.node = e.src
+            UNION ALL
+            SELECT node AS src, node AS dst, 0.0 AS p FROM wdeg
+        ),
+        pr(iter, node, r) AS (
+            SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM wdeg
+            UNION ALL
+            SELECT q.iter + 1, q.dst, (1 - {_DAMP}) * sv.s + {_DAMP} * q.c
+            FROM (
+                SELECT p.iter AS iter, f.dst AS dst, sum(p.r * f.p) AS c
+                FROM pr p JOIN fe f ON f.src = p.node
+                WHERE p.iter < 3
+                GROUP BY p.iter, f.dst
+            ) q
+            JOIN svec sv ON sv.node = q.dst
+        ),
+        pv AS (SELECT node, r AS ppr FROM pr WHERE iter = 3),
+        ranked AS (
+            SELECT pv.node, pv.ppr, w.wdeg,
+                   row_number() OVER (ORDER BY round(pv.ppr, 9) / w.wdeg DESC, pv.node ASC) AS rank
+            FROM pv JOIN wdeg w USING (node)
+            QUALIFY rank <= 25
+        ),
+        tot AS (SELECT sum(wdeg) AS tv FROM wdeg),
+        hist AS (
+            SELECT greatest(ra.rank, rb.rank) AS m, sum(u.weight) AS wm
+            FROM und u
+            JOIN ranked ra ON ra.node = u.src
+            JOIN ranked rb ON rb.node = u.dst
+            GROUP BY 1
+        ),
+        sweep AS (
+            SELECT r.rank, r.node, r.ppr,
+                   sum(r.wdeg) OVER (ORDER BY r.rank) AS volume,
+                   sum(coalesce(h.wm, 0)) OVER (ORDER BY r.rank) AS wint
+            FROM ranked r LEFT JOIN hist h ON h.m = r.rank
+        )
+        SELECT rank, node, round(ppr, 6) AS ppr, volume,
+               volume - 2 * wint AS cut_weight,
+               round(CASE WHEN least(volume, tv - volume) > 0
+                     THEN (volume - 2 * wint) / least(volume, tv - volume)
+                     END, 6) AS conductance
+        FROM sweep CROSS JOIN tot
     """
     # directed containment twin of the ngram_jaccard oracle: same
     # inverted-index intersection counts, asymmetric normalization,

@@ -1363,3 +1363,96 @@ def simrank(
             ).union(offdiag)
         )
     return prev.filter(F.col("a") < F.col("b")).select("a", "b", "score")
+
+
+def ppr_sweep(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    num_iterations: int = 3,
+    max_prefix: int = 50,
+) -> DataFrame:
+    """Andersen-Chung-Lang local-community sweep: rank nodes by
+    ppr(v)/deg(v), then report the conductance of every prefix of the
+    sweep order — the prefix with minimum conductance is the local
+    community around the seed set (Andersen, Chung & Lang, FOCS 2006;
+    the standard seed-expansion primitive on web graphs, where a global
+    clustering of 10^12 nodes is off the table but "what is THIS page's
+    community" is answerable from the PPR support alone).
+
+    Input is the canonical undirected edge table (src < dst, deduped).
+    The PPR vector comes from :func:`personalized_pagerank` over the
+    symmetrized view (no dangling nodes by construction); the sweep is
+    pure window algebra over the top ``max_prefix`` nodes:
+
+        vol(k)  = sum_{rank<=k} wdeg(v)          (cumulative window)
+        wint(k) = sum of edge weights with BOTH endpoints at rank<=k
+                  (per-edge m = max(rank_u, rank_v), histogram, cumsum)
+        cut(k)  = vol(k) - 2*wint(k)
+        phi(k)  = cut(k) / min(vol(k), total_vol - vol(k))
+
+    Ordering ties break by node id ascending (deterministic). Everything
+    after the PPR rounds is one window over <= max_prefix rows plus one
+    join of the edge table against the tiny ranked set (broadcast at any
+    scale) — the sweep itself never shuffles the graph.
+
+    Returns (rank, node, ppr, volume, cut_weight, conductance).
+    """
+    from pyspark.sql import Window
+
+    from ..sources.edges import symmetrize
+
+    sym = symmetrize(edges)
+    ppr = personalized_pagerank(
+        sym, seeds, damping=damping, num_iterations=num_iterations, directed=True
+    )
+    wdeg = sym.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("wdeg"))
+    total = wdeg.agg(F.sum("wdeg").alias("total_vol"))
+    # distributed top-k (TakeOrderedAndProject), NOT a global row_number
+    # window over every node — the rank window below only ever sees
+    # max_prefix rows, so the one single-task stage is O(max_prefix).
+    # The ranking key rounds ppr to 9 decimals: structurally-symmetric
+    # nodes have mathematically equal ppr, but per-partition summation
+    # order perturbs the last ulp, and an ulp must not decide sweep
+    # order (ties break by node id, reproducibly, on any engine).
+    top = (
+        ppr.join(wdeg, "node")
+        .withColumn("score", F.round("ppr", 9) / F.col("wdeg"))
+        .orderBy(F.desc("score"), F.asc("node"))
+        .limit(max_prefix)
+    )
+    w_rank = Window.orderBy(F.desc("score"), F.asc("node"))
+    ranked = top.withColumn("rank", F.row_number().over(w_rank)).cache()
+    hist = (
+        edges.join(
+            F.broadcast(ranked.select(F.col("node").alias("src"), F.col("rank").alias("ra"))),
+            "src",
+        )
+        .join(
+            F.broadcast(ranked.select(F.col("node").alias("dst"), F.col("rank").alias("rb"))),
+            "dst",
+        )
+        .groupBy(F.greatest("ra", "rb").alias("m"))
+        .agg(F.sum("weight").alias("wm"))
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        ranked.join(hist, ranked["rank"] == hist["m"], "left")
+        .select("rank", "node", "ppr", "wdeg", F.coalesce("wm", F.lit(0.0)).alias("wm"))
+        .withColumn("volume", F.sum("wdeg").over(w_cum))
+        .withColumn("wint", F.sum("wm").over(w_cum))
+        .crossJoin(F.broadcast(total))
+        .withColumn("cut_weight", F.col("volume") - 2 * F.col("wint"))
+        .withColumn(
+            "conductance",
+            F.when(
+                F.least(F.col("volume"), F.col("total_vol") - F.col("volume")) > 0,
+                F.col("cut_weight")
+                / F.least(F.col("volume"), F.col("total_vol") - F.col("volume")),
+            ),
+        )
+        .select("rank", "node", "ppr", "volume", "cut_weight", "conductance")
+    )
+    result = out.localCheckpoint(eager=True)
+    ranked.unpersist()
+    return result
