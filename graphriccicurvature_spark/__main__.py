@@ -189,6 +189,37 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.dedup import minhash_dedup
 
         return minhash_dedup(_load_docs(spark, args))
+    if op == "paragraph-dedup":
+        from .operators.dedup import paragraph_dedup
+
+        return paragraph_dedup(_load_docs(spark, args), min_docs=args.min_docs)
+    if op == "containment":
+        from .operators.dedup import ngram_containment_pairs
+
+        return ngram_containment_pairs(
+            _load_docs(spark, args), k=args.k, threshold=args.threshold
+        )
+    if op == "snapshot-dedup":
+        from .operators.dedup import snapshot_dedup
+
+        if not args.pages:
+            sys.exit("snapshot-dedup needs --pages (parquet with url, warc_ts)")
+        return snapshot_dedup(spark.read.parquet(args.pages))
+    if op == "ppr-sweep":
+        from .operators.linkgraph import ppr_sweep
+        from .sources.edges import canonicalize
+
+        if not args.seeds:
+            sys.exit("ppr-sweep needs --seeds (comma-separated node ids)")
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in args.seeds.split(",")], "node long"
+        )
+        return ppr_sweep(
+            canonicalize(_load_edges(spark, args)),
+            seeds,
+            num_iterations=args.iterations,
+            max_prefix=args.max_prefix,
+        )
     if op == "repetition":
         from .operators.textstats import repetition_stats
 
@@ -661,7 +692,8 @@ OPS = (
     "bib-coupling rich-club truss-number perplexity transitivity powerlaw "
     "keep-best mst dsir closeness louvain ngram-contamination weighted-sample "
     "mis matching bpe-tokens coloring simrank curation-funnel asof-join "
-    "range-join square-count dup-histogram robustness"
+    "range-join square-count dup-histogram robustness paragraph-dedup "
+    "snapshot-dedup containment ppr-sweep"
 ).split()
 
 
@@ -713,7 +745,13 @@ def main(argv: list[str] | None = None) -> None:
                         "chars before hashing (default: full text)")
     p.add_argument("--radius", type=int, default=2,
                    help="neighborhood/hyperball ball radius (hops)")
-    p.add_argument("--seeds", help="ppr: comma-separated seed node ids")
+    p.add_argument("--seeds", help="ppr / ppr-sweep: comma-separated seed node ids")
+    p.add_argument("--min-docs", type=int, default=2,
+                   help="paragraph-dedup: remove paragraphs in >= this many docs")
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="containment: minimum |Sa n Sb| / |Sa|")
+    p.add_argument("--max-prefix", type=int, default=50,
+                   help="ppr-sweep: sweep the top-k nodes by ppr/deg")
     p.add_argument("--alpha-katz", type=float, default=0.1,
                    help="katz attenuation factor")
     p.add_argument("--beta", type=float, default=1.0, help="katz base weight")

@@ -476,3 +476,32 @@ def test_cli_square_dup_robustness(spark, tmp_path):
     main(["robustness", "--docs", SF, "--output", str(out3), "--k", "3"])
     r = spark.read.parquet(str(out3)).collect()[0]
     assert r["giant_after"] <= r["giant_before"]
+
+
+def test_cli_round5i_ops(spark, tmp_path):
+    from graphriccicurvature_spark.sources.pages import generate_pages
+
+    out = tmp_path / "pd"
+    main(["paragraph-dedup", "--docs", SF, "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"doc_id", "text", "n_paragraphs", "n_removed"}
+    assert df.count() == 500
+
+    out2 = tmp_path / "cont"
+    main(["containment", "--docs", SF, "--output", str(out2), "--k", "2",
+          "--threshold", "0.6"])
+    df2 = spark.read.parquet(str(out2))
+    assert set(df2.columns) == {"contained", "container", "containment"}
+
+    pp = tmp_path / "pages"
+    generate_pages(spark, 40).select("url", "warc_ts").write.parquet(str(pp))
+    out3 = tmp_path / "snap"
+    main(["snapshot-dedup", "--pages", str(pp), "--output", str(out3)])
+    df3 = spark.read.parquet(str(out3))
+    assert "canonical_url" in df3.columns and df3.count() == 40
+
+    out4 = tmp_path / "sweep"
+    main(["ppr-sweep", "--docs", SF, "--output", str(out4), "--seeds", "0,13",
+          "--iterations", "2", "--max-prefix", "10"])
+    df4 = spark.read.parquet(str(out4))
+    assert df4.count() == 10 and "conductance" in df4.columns
