@@ -186,3 +186,27 @@ def test_ppr_sweep_plan_uses_topk_not_global_window(spark):
     p = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p, p
     assert out.count() == 3
+
+
+def test_round5i_plans_are_codegen(spark):
+    """paragraph_dedup / snapshot_dedup / ngram_containment_pairs are
+    pure DataFrame algebra: no Python eval nodes anywhere in the
+    physical plans (the 100 TB claim in PLANS.md)."""
+    from graphriccicurvature_spark.operators.dedup import (
+        ngram_containment_pairs,
+        paragraph_dedup,
+        snapshot_dedup,
+    )
+    from graphriccicurvature_spark.sources.pages import generate_pages
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i % 3} common tail") for i in range(20)], ["doc_id", "text"]
+    )
+    for df in (
+        paragraph_dedup(docs),
+        ngram_containment_pairs(docs, k=2, threshold=0.5),
+        snapshot_dedup(generate_pages(spark, 10).select("url", "warc_ts")),
+    ):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p, p
+        assert "ArrowEvalPython" not in p, p
