@@ -1843,6 +1843,32 @@ def _q_rich_club(spark, sf):
     )
 
 
+def _q_scan_clustering(spark, sf):
+    """SCAN structural clustering (Xu et al., KDD 2007) at (ε=0.42, μ=3):
+    core/border/hub/outlier roles over the canonical undirected graph —
+    the hub/outlier triage plain CC or modularity methods cannot give."""
+    from graphriccicurvature_spark.operators.linkgraph import scan_clustering
+
+    und = canonicalize(edges_from_documents(spark, sf))
+    return scan_clustering(und, eps=0.42, mu=3).select("node", "role", "cluster")
+
+
+def _q_pagerank_incremental(spark, sf):
+    """Incremental crawl-update PageRank: 5 cold rounds on last crawl's
+    edge set (deterministic 90% subset), then 3 WARM rounds on the full
+    graph seeded from those scores (pagerank ``init``; pages first seen
+    this crawl start at 1/N). The full two-phase pipeline is replayed
+    value-for-value by the DuckDB oracle's chained recursive CTEs."""
+    from graphriccicurvature_spark.operators.pagerank import pagerank
+
+    e = edges_from_documents(spark, sf)
+    base = e.filter((F.col("src") * 1000003 + F.col("dst")) % 10 != 0)
+    init = pagerank(base, damping=_DAMP, num_iterations=_PR_ITERS, directed=True)
+    return pagerank(e, damping=_DAMP, num_iterations=3, directed=True, init=init).select(
+        "node", F.round("pagerank", 6).alias("pagerank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the grading driver records only the
     FIRST 50 entries in CORRECTNESS_r{N}.json (r4 checked exactly
@@ -1993,6 +2019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_dedup": _q_snapshot_dedup,
         "ngram_containment": _q_ngram_containment,
         "ppr_sweep_25": _q_ppr_sweep,
+        "scan_clustering": _q_scan_clustering,
+        "pagerank_incremental": _q_pagerank_incremental,
     }
 
 
@@ -5262,5 +5290,143 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY canonical_url ORDER BY warc_ts DESC, url ASC
                ) = 1 AS is_latest
         FROM canon
+    """
+    # SCAN structural clustering: σ from closed-neighborhood overlap
+    # (triangle support + 2 over sqrt of closed-degree product), ε-cores,
+    # CC over the core-core ε-subgraph (min-label recursion run far past
+    # convergence), border attachment, hub/outlier classification.
+    sql["scan_clustering"] = f"""
+        WITH RECURSIVE {_E}, {_UND},
+        sup AS (
+            SELECT u.src, u.dst, count(*) AS support
+            FROM und u
+            JOIN sym a ON a.src = u.src
+            JOIN sym b ON b.src = u.dst AND b.dst = a.dst
+            GROUP BY u.src, u.dst
+        ),
+        sig AS (
+            SELECT u.src, u.dst,
+                   CAST(coalesce(s.support, 0) + 2 AS DOUBLE)
+                     / sqrt(CAST((d1.degree + 1) * (d2.degree + 1) AS DOUBLE)) AS sigma
+            FROM und u
+            JOIN deg d1 ON d1.node = u.src
+            JOIN deg d2 ON d2.node = u.dst
+            LEFT JOIN sup s ON s.src = u.src AND s.dst = u.dst
+        ),
+        eps_e AS (SELECT src, dst FROM sig WHERE sigma >= 0.42),
+        eps_sym AS (
+            SELECT src, dst FROM eps_e
+            UNION ALL SELECT dst AS src, src AS dst FROM eps_e
+        ),
+        epsdeg AS (
+            SELECT d.node, 1 + coalesce(c.en, 0) AS eps_deg
+            FROM deg d LEFT JOIN (
+                SELECT src AS node, count(*) AS en FROM eps_sym GROUP BY src
+            ) c ON c.node = d.node
+        ),
+        cores AS (SELECT node FROM epsdeg WHERE eps_deg >= 3),
+        core_selfsym AS (
+            SELECT e.src, e.dst FROM eps_sym e
+            JOIN cores c1 ON c1.node = e.src JOIN cores c2 ON c2.node = e.dst
+            UNION SELECT node AS src, node AS dst FROM cores
+        ),
+        lab(iter, node, label) AS (
+            SELECT 0, node, node FROM cores
+            UNION ALL
+            SELECT l.iter + 1, s.dst AS node, min(l.label) AS label
+            FROM lab l JOIN core_selfsym s ON s.src = l.node
+            WHERE l.iter < 60
+            GROUP BY l.iter, s.dst
+        ),
+        cc AS (SELECT node, label AS cluster FROM lab WHERE iter = 60),
+        border AS (
+            SELECT es.src AS node, min(cc.cluster) AS cluster
+            FROM eps_sym es JOIN cc ON cc.node = es.dst
+            WHERE es.src NOT IN (SELECT node FROM cores)
+            GROUP BY es.src
+        ),
+        assigned AS (
+            SELECT node, 'core' AS role, cluster FROM cc
+            UNION ALL SELECT node, 'border' AS role, cluster FROM border
+        ),
+        nbrcl AS (
+            SELECT s.src AS node, count(DISTINCT a.cluster) AS ncl
+            FROM sym s JOIN assigned a ON a.node = s.dst
+            GROUP BY s.src
+        )
+        SELECT node, role, cluster FROM assigned
+        UNION ALL
+        SELECT d.node,
+               CASE WHEN coalesce(n.ncl, 0) >= 2 THEN 'hub' ELSE 'outlier' END AS role,
+               CAST(NULL AS BIGINT) AS cluster
+        FROM deg d LEFT JOIN nbrcl n ON n.node = d.node
+        WHERE d.node NOT IN (SELECT node FROM assigned)
+    """
+    # incremental PageRank: phase 1 = 5 cold rounds on the 90% "last
+    # crawl" subset, phase 2 = 3 warm rounds on the full graph seeded
+    # from phase 1 (new nodes at 1/N of the full graph), chained
+    # recursive CTEs with the same dangling-mass spine as pagerank_5.
+    sql["pagerank_incremental"] = f"""
+        WITH RECURSIVE {_E},
+        base AS (SELECT src, dst FROM edges WHERE (src * 1000003 + dst) % 10 <> 0),
+        nodes1 AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM base UNION ALL SELECT dst FROM base
+            )
+        ),
+        nn1 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes1),
+        outdeg1 AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM base GROUP BY src),
+        fe1 AS (
+            SELECT b.src, b.dst, o.od FROM base b JOIN outdeg1 o USING (src)
+            UNION ALL
+            SELECT d.node AS src, t.node AS dst, (SELECT n FROM nn1) AS od
+            FROM (SELECT node FROM nodes1 WHERE node NOT IN (SELECT src FROM base)) d
+            CROSS JOIN nodes1 t
+        ),
+        pr1(iter, node, r) AS (
+            SELECT 0, node, 1.0 / (SELECT n FROM nn1) FROM nodes1
+            UNION ALL
+            SELECT q.iter + 1, q.dst,
+                   (1 - {_DAMP}) / (SELECT n FROM nn1) + {_DAMP} * q.s
+            FROM (
+                SELECT p.iter AS iter, fe.dst AS dst, sum(p.r / fe.od) AS s
+                FROM pr1 p JOIN fe1 fe ON fe.src = p.node
+                WHERE p.iter < {_PR_ITERS}
+                GROUP BY p.iter, fe.dst
+            ) q
+        ),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        init AS (
+            SELECT no.node, coalesce(p.r, 1.0 / (SELECT n FROM nn)) AS r
+            FROM nodes no LEFT JOIN (
+                SELECT node, r FROM pr1 WHERE iter = {_PR_ITERS}
+            ) p ON p.node = no.node
+        ),
+        outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+        fe AS (
+            SELECT e.src, e.dst, o.od FROM edges e JOIN outdeg o USING (src)
+            UNION ALL
+            SELECT d.node AS src, t.node AS dst, (SELECT n FROM nn) AS od
+            FROM (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)) d
+            CROSS JOIN nodes t
+        ),
+        pr2(iter, node, r) AS (
+            SELECT 0, node, r FROM init
+            UNION ALL
+            SELECT q.iter + 1, q.dst,
+                   (1 - {_DAMP}) / (SELECT n FROM nn) + {_DAMP} * q.s
+            FROM (
+                SELECT p.iter AS iter, fe.dst AS dst, sum(p.r / fe.od) AS s
+                FROM pr2 p JOIN fe ON fe.src = p.node
+                WHERE p.iter < 3
+                GROUP BY p.iter, fe.dst
+            ) q
+        )
+        SELECT node, round(r, 6) AS pagerank FROM pr2 WHERE iter = 3
     """
     return sql

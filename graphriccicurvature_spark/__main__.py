@@ -220,6 +220,24 @@ def run_op(spark: SparkSession, args) -> DataFrame:
             num_iterations=args.iterations,
             max_prefix=args.max_prefix,
         )
+    if op == "scan":
+        from .operators.linkgraph import scan_clustering
+        from .sources.edges import canonicalize
+
+        return scan_clustering(
+            canonicalize(_load_edges(spark, args)), eps=args.eps, mu=args.mu
+        )
+    if op == "pagerank-warm":
+        from .operators.pagerank import pagerank
+
+        if not args.init_scores:
+            sys.exit("pagerank-warm needs --init-scores (parquet of node, pagerank)")
+        return pagerank(
+            _load_edges(spark, args),
+            num_iterations=args.iterations,
+            directed=args.directed,
+            init=spark.read.parquet(args.init_scores),
+        )
     if op == "repetition":
         from .operators.textstats import repetition_stats
 
@@ -693,7 +711,7 @@ OPS = (
     "keep-best mst dsir closeness louvain ngram-contamination weighted-sample "
     "mis matching bpe-tokens coloring simrank curation-funnel asof-join "
     "range-join square-count dup-histogram robustness paragraph-dedup "
-    "snapshot-dedup containment ppr-sweep"
+    "snapshot-dedup containment ppr-sweep scan pagerank-warm"
 ).split()
 
 
@@ -752,6 +770,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="containment: minimum |Sa n Sb| / |Sa|")
     p.add_argument("--max-prefix", type=int, default=50,
                    help="ppr-sweep: sweep the top-k nodes by ppr/deg")
+    p.add_argument("--eps", type=float, default=0.5,
+                   help="scan: structural-similarity threshold ε")
+    p.add_argument("--mu", type=int, default=3,
+                   help="scan: minimum ε-neighborhood size for a core")
+    p.add_argument("--init-scores", help="pagerank-warm: parquet of "
+                   "(node, pagerank) from the previous crawl's run")
     p.add_argument("--alpha-katz", type=float, default=0.1,
                    help="katz attenuation factor")
     p.add_argument("--beta", type=float, default=1.0, help="katz base weight")

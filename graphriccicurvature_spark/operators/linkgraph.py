@@ -1456,3 +1456,143 @@ def ppr_sweep(
     result = out.localCheckpoint(eager=True)
     ranked.unpersist()
     return result
+
+
+def scan_clustering(
+    edges: DataFrame,
+    eps: float = 0.5,
+    mu: int = 3,
+) -> DataFrame:
+    """SCAN structural clustering (Xu, Yuruk, Feng & Schweiger, KDD 2007):
+    cluster nodes by shared neighborhood structure and — unlike plain CC
+    or modularity methods — EXPLICITLY separate out hubs (nodes bridging
+    several clusters) and outliers (nodes attached to none). On a web
+    link graph that is the spam/navigation-hub triage: topical page
+    clusters, cross-topic hub pages, and noise pages, in one pass.
+
+    Structural similarity over CLOSED neighborhoods Γ(u) = N(u) ∪ {u}:
+
+        σ(u,v) = |Γ(u) ∩ Γ(v)| / sqrt(|Γ(u)|·|Γ(v)|)
+               = (common_open_neighbors + 2) / sqrt((deg_u+1)·(deg_v+1))
+
+    for an existing edge (u,v) — common open neighbors is exactly the
+    edge's triangle support, so the expensive step reuses the
+    degree-ordered triangle enumerator (:func:`edge_support`), which
+    bounds per-key fan-out at O(sqrt(m)) on power-law hubs. From σ:
+
+    - ε-neighborhood N_ε(u) = {u} ∪ {v adjacent : σ(u,v) ≥ eps}
+    - u is a CORE iff |N_ε(u)| ≥ mu
+    - clusters = connected components of the core-core ε-subgraph
+      (cluster id = min core node id, deterministic); every core's
+      non-core ε-neighbors attach to the core's cluster as BORDER
+      nodes (min cluster id when several cores claim one border)
+    - remaining nodes: HUB if their (original-graph) neighbors sit in
+      ≥ 2 distinct clusters, else OUTLIER
+
+    Scale design: one triangle enumeration + codegen joins for σ and the
+    ε-degree, then CC runs on the core-core ε-subgraph only — on web
+    graphs a small fraction of the full edge set (low-σ superhub edges
+    are exactly the ones ε prunes). No Python UDFs, no collects beyond
+    CC's bounded fixpoint actions. σ is a pure function of integer
+    degree/support counts, so the DuckDB oracle replays it bit-for-bit.
+
+    Returns ``(node, role, cluster)`` — role ∈ core/border/hub/outlier,
+    cluster null for hubs and outliers. The reference repo has no analog
+    (cited semantics are the published SCAN definitions).
+    """
+    from .components import connected_components
+
+    canon = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+    sym = canon.union(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("degree"))
+    sup = edge_support(canon.withColumn("weight", F.lit(1.0)))
+    sig = (
+        canon.join(sup, ["src", "dst"], "left")
+        .select("src", "dst", F.coalesce("support", F.lit(0)).alias("support"))
+        .join(deg.select(F.col("node").alias("src"), F.col("degree").alias("_d1")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("degree").alias("_d2")), "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                (F.col("support") + F.lit(2)).cast("double")
+                / F.sqrt(((F.col("_d1") + 1) * (F.col("_d2") + 1)).cast("double"))
+            ).alias("sigma"),
+        )
+    )
+    eps_edges = sig.filter(F.col("sigma") >= F.lit(float(eps))).select("src", "dst")
+    # checkpoint: the σ subtree (triangle enumeration + degree joins) is
+    # reused by ε-degree, core filtering, CC and border attachment — cut
+    # it once here so the downstream plan stays linear, not 4× the tree
+    eps_sym = truncate_plan(
+        eps_edges.union(
+            eps_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    eps_edges = eps_sym.filter(F.col("src") < F.col("dst"))
+    nodes = deg.select("node")
+    eps_deg = (
+        nodes.join(
+            eps_sym.groupBy(F.col("src").alias("node")).agg(
+                F.count("*").alias("_en")
+            ),
+            "node",
+            "left",
+        )
+        # +1: u ∈ N_ε(u) (σ(u,u) = 1 ≥ eps always)
+        .select("node", (F.coalesce("_en", F.lit(0)) + 1).alias("eps_deg"))
+    )
+    cores = truncate_plan(
+        eps_deg.filter(F.col("eps_deg") >= F.lit(int(mu))).select("node")
+    )
+    core_edges = (
+        eps_edges.join(cores.select(F.col("node").alias("src")), "src", "left_semi")
+        .join(cores.select(F.col("node").alias("dst")), "dst", "left_semi")
+        .select("src", "dst")
+        .withColumn("weight", F.lit(1.0))
+    )
+    cc = connected_components(core_edges, vertices=cores)
+    core_rows = cc.select("node", F.lit("core").alias("role"), F.col("component").alias("cluster"))
+    # border: non-core endpoint of an ε-edge whose other endpoint is core
+    border_rows = (
+        eps_sym.join(
+            cc.select(F.col("node").alias("dst"), F.col("component").alias("_cl")), "dst"
+        )
+        .select(F.col("src").alias("node"), "_cl")
+        .join(cores, "node", "left_anti")
+        .groupBy("node")
+        .agg(F.min("_cl").alias("cluster"))
+        .select("node", F.lit("border").alias("role"), "cluster")
+    )
+    assigned = truncate_plan(core_rows.unionByName(border_rows))
+    # hubs/outliers: unassigned nodes, classified by how many distinct
+    # clusters their original-graph neighbors belong to
+    rest = nodes.join(assigned.select("node"), "node", "left_anti")
+    nbr_cl = (
+        sym.join(
+            assigned.select(F.col("node").alias("dst"), F.col("cluster").alias("_cl")),
+            "dst",
+        )
+        .select(F.col("src").alias("node"), "_cl")
+        .groupBy("node")
+        .agg(F.countDistinct("_cl").alias("_ncl"))
+    )
+    rest_rows = (
+        rest.join(nbr_cl, "node", "left")
+        .select(
+            "node",
+            F.when(F.coalesce("_ncl", F.lit(0)) >= 2, F.lit("hub"))
+            .otherwise(F.lit("outlier"))
+            .alias("role"),
+            F.lit(None).cast("long").alias("cluster"),
+        )
+    )
+    return assigned.unionByName(rest_rows).localCheckpoint(eager=True)

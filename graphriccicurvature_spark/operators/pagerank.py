@@ -26,6 +26,7 @@ def pagerank(
     max_iter: int = 100,
     num_iterations: int | None = None,
     directed: bool = True,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``(node, pagerank)``.
 
@@ -33,6 +34,15 @@ def pagerank(
     convergence action (deterministic, SQL-oracle-friendly). Undirected
     input (canonical rows) is symmetrized first, matching ``nx.pagerank``
     on a ``Graph``.
+
+    ``init`` (optional ``(node, pagerank)``) warm-starts the iteration
+    from prior scores instead of the uniform vector — the incremental
+    crawl-update pattern: after a recrawl adds/changes edges, a few warm
+    rounds from last crawl's ranks converge far faster than a cold
+    restart (nx.pagerank's ``nstart``). Nodes absent from ``init`` (pages
+    first seen this crawl) start at 1/N of the CURRENT graph; the vector
+    is NOT renormalized, exactly like ``nstart``-style warm starts, so a
+    fixed iteration count stays a pure function of (edges, init).
     """
     if not directed:
         edges = edges.select("src", "dst", "weight").union(
@@ -54,7 +64,17 @@ def pagerank(
     out_nodes = wout.select(F.col("src").alias("node"))
     dangling = nodes.join(out_nodes, "node", "left_anti").cache()
 
-    ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
+    if init is None:
+        ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
+    else:
+        ranks = (
+            nodes.join(
+                init.select("node", F.col("pagerank").alias("_init")), "node", "left"
+            )
+            .select(
+                "node", F.coalesce("_init", F.lit(1.0 / n)).alias("pagerank")
+            )
+        )
     base = (1.0 - damping) / n
     iters = num_iterations if num_iterations is not None else max_iter
     for _ in range(iters):

@@ -505,3 +505,24 @@ def test_cli_round5i_ops(spark, tmp_path):
           "--iterations", "2", "--max-prefix", "10"])
     df4 = spark.read.parquet(str(out4))
     assert df4.count() == 10 and "conductance" in df4.columns
+
+
+def test_cli_round5j_ops(spark, tmp_path):
+    out = tmp_path / "scan"
+    main(["scan", "--docs", SF, "--output", str(out), "--eps", "0.42", "--mu", "3"])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"node", "role", "cluster"}
+    assert df.count() == 500
+
+    pr0 = tmp_path / "pr0"
+    main(["pagerank", "--docs", SF, "--output", str(pr0), "--iterations", "3",
+          "--directed"])
+    out2 = tmp_path / "prw"
+    main(["pagerank-warm", "--docs", SF, "--output", str(out2),
+          "--iterations", "2", "--directed", "--init-scores", str(pr0)])
+    df2 = spark.read.parquet(str(out2))
+    assert df2.columns == ["node", "pagerank"]
+    assert abs(df2.groupBy().sum("pagerank").first()[0] - 1.0) < 1e-6
+
+    with pytest.raises(SystemExit):
+        main(["pagerank-warm", "--docs", SF])
