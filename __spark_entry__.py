@@ -1869,6 +1869,42 @@ def _q_pagerank_incremental(spark, sf):
     )
 
 
+def _q_kmeans_clusters(spark, sf):
+    """Spherical k-means (k=8, one 9dp-rounded Lloyd round) over the
+    embeddings table — the SemDeDup/cluster-balanced-mixing clustering
+    stage; the DuckDB oracle replays seed -> assign -> mean -> re-assign
+    value-for-value."""
+    from graphriccicurvature_spark.operators.similarity import kmeans_clusters
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return kmeans_clusters(emb, k=8, rounds=1).select(
+        "vec_id", "cluster", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup at (k=8, rounds=1, threshold=0.35): within-cluster cosine
+    near-dup pruning, lowest-id survivor. 0.35 targets the synthetic
+    corpus's cosine scale (max within-cluster cosine ~0.51); real
+    embedding spaces use ~0.95+."""
+    from graphriccicurvature_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return semantic_dedup(emb, k=8, rounds=1, threshold=0.35)
+
+
+def _q_link_churn(spark, sf):
+    """Recrawl link churn between two deterministic snapshots of the F2
+    graph (edges with hash%10 != 0 vs != 1): per-source added/removed/
+    retained outlinks + churn rate."""
+    from graphriccicurvature_spark.operators.webgraph import link_churn
+
+    e = edges_from_documents(spark, sf)
+    old = e.filter((F.col("src") * 1000003 + F.col("dst")) % 10 != 0)
+    new = e.filter((F.col("src") * 1000003 + F.col("dst")) % 10 != 1)
+    return link_churn(old, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the grading driver records only the
     FIRST 50 entries in CORRECTNESS_r{N}.json (r4 checked exactly
@@ -2021,6 +2057,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep_25": _q_ppr_sweep,
         "scan_clustering": _q_scan_clustering,
         "pagerank_incremental": _q_pagerank_incremental,
+        "kmeans_clusters_8": _q_kmeans_clusters,
+        "semantic_dedup": _q_semantic_dedup,
+        "link_churn": _q_link_churn,
     }
 
 
@@ -5428,5 +5467,78 @@ def oracle_sql() -> dict[str, str]:
             ) q
         )
         SELECT node, round(r, 6) AS pagerank FROM pr2 WHERE iter = 3
+    """
+    # spherical k-means, k=8, one Lloyd round: seed = 8 smallest ids,
+    # argmax-cosine assign (ties -> smallest cell), per-cell elementwise
+    # mean ROUNDED TO 9dp (both engines round, so partition-order float
+    # summation cannot diverge), re-assign. Shared prefix for semantic_dedup.
+    _KM = """
+        ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (SELECT vec_id AS cell, v FROM ev ORDER BY vec_id LIMIT 8),
+        a0 AS (
+            SELECT vec_id, cell FROM (
+                SELECT ev.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY ev.vec_id
+                           ORDER BY list_cosine_similarity(ev.v, c.v) DESC, c.cell ASC
+                       ) AS rn
+                FROM ev CROSS JOIN c0 c
+            ) WHERE rn = 1
+        ),
+        z AS (
+            SELECT a0.cell, unnest(generate_series(1, len(ev.v))) AS i,
+                   unnest(ev.v) AS x
+            FROM a0 JOIN ev USING (vec_id)
+        ),
+        cm AS (SELECT cell, i, round(avg(x), 9) AS m FROM z GROUP BY cell, i),
+        c1 AS (SELECT cell, list(m ORDER BY i) AS v FROM cm GROUP BY cell),
+        a1 AS (
+            SELECT vec_id, cell, cos FROM (
+                SELECT ev.vec_id, c.cell,
+                       list_cosine_similarity(ev.v, c.v) AS cos,
+                       row_number() OVER (
+                           PARTITION BY ev.vec_id
+                           ORDER BY list_cosine_similarity(ev.v, c.v) DESC, c.cell ASC
+                       ) AS rn
+                FROM ev CROSS JOIN c1 c
+            ) WHERE rn = 1
+        )
+    """
+    sql["kmeans_clusters_8"] = f"""
+        WITH {_KM}
+        SELECT vec_id, cell AS cluster, round(cos, 6) AS cosine FROM a1
+    """
+    sql["semantic_dedup"] = f"""
+        WITH {_KM},
+        dup AS (
+            SELECT DISTINCT b.vec_id
+            FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN ev ea ON ea.vec_id = a.vec_id
+            JOIN ev eb ON eb.vec_id = b.vec_id
+            WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
+        )
+        SELECT a1.vec_id, a1.cell AS cluster,
+               a1.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
+        FROM a1
+    """
+    # link churn: set-semantic full outer join of the two snapshot edge
+    # sets on (src, dst), per-src added/removed/retained + churn rate
+    sql["link_churn"] = f"""
+        WITH {_E},
+        old_e AS (SELECT DISTINCT src, dst FROM edges WHERE (src * 1000003 + dst) % 10 <> 0),
+        new_e AS (SELECT DISTINCT src, dst FROM edges WHERE (src * 1000003 + dst) % 10 <> 1),
+        j AS (
+            SELECT coalesce(o.src, n.src) AS src,
+                   CASE WHEN o.src IS NULL THEN 1 ELSE 0 END AS a,
+                   CASE WHEN n.src IS NULL THEN 1 ELSE 0 END AS r,
+                   CASE WHEN o.src IS NOT NULL AND n.src IS NOT NULL THEN 1 ELSE 0 END AS k
+            FROM old_e o FULL OUTER JOIN new_e n
+              ON o.src = n.src AND o.dst = n.dst
+        )
+        SELECT src, sum(a)::BIGINT AS added, sum(r)::BIGINT AS removed,
+               sum(k)::BIGINT AS retained,
+               round((sum(a) + sum(r))::DOUBLE / (sum(a) + sum(r) + sum(k))::DOUBLE, 6)
+                 AS churn_rate
+        FROM j GROUP BY src
     """
     return sql

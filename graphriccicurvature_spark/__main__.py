@@ -116,6 +116,15 @@ def _load_edges(spark: SparkSession, args) -> DataFrame:
     return e if args.directed else canonicalize(e)
 
 
+def _load_embeddings(spark: SparkSession, args) -> DataFrame:
+    if not args.docs:
+        sys.exit("embedding operators need --docs (dir containing embeddings.parquet)")
+    path = args.docs
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "embeddings.parquet")):
+        path = os.path.join(path, "embeddings.parquet")
+    return spark.read.parquet(path)
+
+
 def _load_docs(spark: SparkSession, args) -> DataFrame:
     if not args.docs:
         sys.exit("text operators need --docs (dir containing documents.parquet)")
@@ -237,6 +246,30 @@ def run_op(spark: SparkSession, args) -> DataFrame:
             num_iterations=args.iterations,
             directed=args.directed,
             init=spark.read.parquet(args.init_scores),
+        )
+    if op == "kmeans":
+        from .operators.similarity import kmeans_clusters
+
+        return kmeans_clusters(
+            _load_embeddings(spark, args), k=args.k, rounds=args.rounds or 1
+        )
+    if op == "semantic-dedup":
+        from .operators.similarity import semantic_dedup
+
+        return semantic_dedup(
+            _load_embeddings(spark, args),
+            k=args.k,
+            rounds=args.rounds or 1,
+            threshold=args.threshold,
+        )
+    if op == "link-churn":
+        from .operators.webgraph import link_churn
+
+        if not args.edges2:
+            sys.exit("link-churn needs --edges2 (the NEW snapshot's edge parquet; "
+                     "--edges/--docs/--pages supply the OLD one)")
+        return link_churn(
+            _load_edges(spark, args), spark.read.parquet(args.edges2)
         )
     if op == "repetition":
         from .operators.textstats import repetition_stats
@@ -711,7 +744,8 @@ OPS = (
     "keep-best mst dsir closeness louvain ngram-contamination weighted-sample "
     "mis matching bpe-tokens coloring simrank curation-funnel asof-join "
     "range-join square-count dup-histogram robustness paragraph-dedup "
-    "snapshot-dedup containment ppr-sweep scan pagerank-warm"
+    "snapshot-dedup containment ppr-sweep scan pagerank-warm kmeans "
+    "semantic-dedup link-churn"
 ).split()
 
 
@@ -776,6 +810,8 @@ def main(argv: list[str] | None = None) -> None:
                    help="scan: minimum ε-neighborhood size for a core")
     p.add_argument("--init-scores", help="pagerank-warm: parquet of "
                    "(node, pagerank) from the previous crawl's run")
+    p.add_argument("--edges2", help="link-churn: parquet of the NEW "
+                   "snapshot's (src, dst) edges")
     p.add_argument("--alpha-katz", type=float, default=0.1,
                    help="katz attenuation factor")
     p.add_argument("--beta", type=float, default=1.0, help="katz base weight")

@@ -126,6 +126,54 @@ def cosine_topk_bruteforce(
     return sim.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _seed_centroids(v: DataFrame, n: int) -> list:
+    """First ``n`` vectors in id order as (cell_id, numpy vector) — sparse
+    or offset id spaces still yield a full centroid set."""
+    cents = [
+        (int(r["vid"]), np.asarray(r["v"], dtype=float))
+        for r in v.orderBy("vid").limit(n).collect()
+    ]
+    if not cents:
+        raise ValueError("centroid seeding: corpus is empty")
+    cents.sort(key=lambda t: t[0])
+    return cents
+
+
+def _lloyd_rounds(spark, v: DataFrame, cents: list, iters: int, round_dp: int | None = None):
+    """``iters`` rounds of Lloyd/k-means over ``v`` (vid, v): assign each
+    vector to its argmax-cosine centroid (ties -> smallest cell id), then
+    replace each centroid with its cell's elementwise mean. Each round is
+    one groupBy over the corpus + a driver collect of n_centroids x dim —
+    the centroids ARE the model. Cells that end a round empty drop out.
+
+    ``round_dp`` (optional) rounds every updated centroid coordinate to
+    that many decimals: the mean is the ONE place where partition-order
+    floating summation could diverge from a sequential ANSI-SQL replay, so
+    rounding both sides to 9 dp makes the whole clustering run
+    value-reproducible in the DuckDB oracle regardless of parallelism."""
+    for _ in range(iters):
+        assign1 = _cell_assigner(spark, cents, 1)
+        assigned = v.withColumn("cell", assign1(F.col("v"))[0])
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_agg(F.struct("pos", "m")).alias("pm"))
+            .collect()
+        )
+        new_cents = []
+        for r in means:
+            pm = sorted((p["pos"], p["m"]) for p in r["pm"])
+            vec = np.array([m for _, m in pm])
+            if round_dp is not None:
+                vec = np.round(vec, round_dp)
+            new_cents.append((int(r["cell"]), vec))
+        if new_cents:
+            cents = sorted(new_cents, key=lambda t: t[0])
+    return cents
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -156,32 +204,10 @@ def cosine_topk_ivf(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     # seed from the actual first n_centroids rows in id order — sparse or
-    # offset id spaces still yield a full centroid set (round-2 advisory)
-    cents = [
-        (int(r["vid"]), np.asarray(r["v"], dtype=float))
-        for r in v.orderBy("vid").limit(n_centroids).collect()
-    ]
-    if not cents:
-        raise ValueError("cosine_topk_ivf: corpus is empty, no centroids to seed")
-    cents.sort(key=lambda t: t[0])
-
-    for _ in range(lloyd_iters):
-        assign1 = _cell_assigner(spark, cents, 1)
-        assigned = v.withColumn("cell", assign1(F.col("v"))[0])
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_agg(F.struct("pos", "m")).alias("pm"))
-            .collect()
-        )
-        new_cents = []
-        for r in means:
-            pm = sorted((p["pos"], p["m"]) for p in r["pm"])
-            new_cents.append((int(r["cell"]), np.array([m for _, m in pm])))
-        if new_cents:
-            cents = sorted(new_cents, key=lambda t: t[0])
+    # offset id spaces still yield a full centroid set (round-2 advisory);
+    # no round_dp: lloyd_iters=0 (the oracled config) never hits the mean,
+    # and lloyd_iters>0 keeps its historical exact-mean behavior
+    cents = _lloyd_rounds(spark, v, _seed_centroids(v, n_centroids), lloyd_iters)
 
     assign1 = _cell_assigner(spark, cents, 1)
     c = (
@@ -328,3 +354,101 @@ def cosine_topk_lsh(
     ).filter(F.col("query_id") != F.col(id_col))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return sim.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_clusters(
+    vectors: DataFrame,
+    k: int = 8,
+    rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means cluster assignment over an embedding column — the
+    clustering stage of SemDeDup (Abbas et al., 2023, arXiv:2303.09540)
+    and of cluster-balanced data mixing. Fully deterministic: centroids
+    seed from the ``k`` smallest ids, refine with ``rounds`` Lloyd
+    cell-mean updates (each coordinate rounded to 9 dp so the run is
+    replayable in sequential ANSI SQL regardless of partition/summation
+    order), final assignment is argmax cosine (ties -> smallest cluster
+    id; a cell that empties mid-run drops out, matching the oracle).
+
+    Scale design: the model is k x dim doubles. Each Lloyd round is one
+    codegen groupBy over the corpus plus a driver collect of the k x dim
+    means; assignment is one :func:`_cell_assigner` pass — plan-literal
+    codegen at small k*dim, one BLAS matmul per Arrow batch over a
+    broadcast matrix above ``_LITERAL_MODEL_LIMIT``. No shuffle of the
+    corpus at any point (the only wide op is the partial-agg mean).
+
+    Returns ``(id_col, cluster, cosine)`` — cosine to the assigned
+    centroid. The reference repo has no analog; semantics are the
+    published SemDeDup/k-means definitions.
+    """
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = _lloyd_rounds(spark, v, _seed_centroids(v, k), rounds, round_dp=9)
+    assign1 = _cell_assigner(spark, cents, 1)
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in c], float(np.linalg.norm(c))) for cid, c in cents],
+        "cluster long, _cv array<double>, _cn double",
+    )
+    return (
+        v.withColumn("cluster", assign1(F.col("v"))[0])
+        .join(F.broadcast(cent_df), "cluster")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            (_dot(F.col("v"), F.col("_cv")) / (_norm(F.col("v")) * F.col("_cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    rounds: int = 1,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic near-duplicate pruning by
+    clustering first, comparing only WITHIN clusters. A vector is a
+    duplicate iff some lower-id vector in its cluster has cosine >=
+    ``threshold``; survivors are the id-minimal representatives of each
+    epsilon-ball (the paper keeps one exemplar per group; lowest id is the
+    deterministic choice, mirroring every other dedup op here).
+
+    Scale design: clustering bounds the quadratic term per cluster —
+    SemDeDup ran 110k clusters over LAION-440M for exactly this reason, so
+    ``k`` grows with the corpus and cluster sizes stay ~n/k. The pairwise
+    stage is a cluster-keyed equi-join (hash-partitioned by cluster, no
+    cross product), cosine in codegen via zip_with/aggregate, and the
+    duplicate set is a semi-join back. Returns ``(id_col, cluster, keep)``.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    assigned = (
+        kmeans_clusters(vectors, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col)
+        .select(F.col(id_col).alias("vid"), "cluster")
+        .join(v, "vid")
+    )
+    a = assigned.select(F.col("vid").alias("_a"), "cluster", F.col("v").alias("_av"))
+    b = assigned.select(F.col("vid").alias("_b"), "cluster", F.col("v").alias("_bv"))
+    dup = (
+        a.join(b, "cluster")
+        .filter(F.col("_a") < F.col("_b"))
+        .filter(
+            _dot(F.col("_av"), F.col("_bv")) / (_norm(F.col("_av")) * _norm(F.col("_bv")))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("_b").alias("vid"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return assigned.join(dup, "vid", "left").select(
+        F.col("vid").alias(id_col), "cluster", F.col("_dup").isNull().alias("keep")
+    )

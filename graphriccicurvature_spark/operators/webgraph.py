@@ -762,3 +762,43 @@ def robustness_report(edges: DataFrame, k: int = 10) -> DataFrame:
         (F.col("giant_before") / F.col("n_nodes")).alias("giant_frac_before"),
         (F.col("giant_after") / F.col("n_nodes")).alias("giant_frac_after"),
     )
+
+
+def link_churn(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Per-source link churn between two crawl snapshots: for every node
+    appearing as a source in either snapshot, how many of its outlinks
+    were added, removed, or retained by the recrawl — the link-rot /
+    freshness audit run after every recrawl, and the input that decides
+    which hosts need PageRank recomputed (pair with
+    ``pagerank(init=...)``).
+
+    One full-outer equi-join on (src, dst) — both sides hash-partition on
+    the same key, so at 100 TB this is a single co-partitioned shuffle
+    (or zero shuffles off :mod:`sources.bucketed` storage) — followed by a
+    codegen groupBy on src. Duplicate rows within a snapshot are collapsed
+    first so counts are set semantics.
+
+    Returns ``(src, added, removed, retained, churn_rate)`` with
+    churn_rate = (added + removed) / (added + removed + retained),
+    rounded to 6 dp.
+    """
+    o = old_edges.select("src", "dst").distinct().withColumn("_o", F.lit(1))
+    n = new_edges.select("src", "dst").distinct().withColumn("_n", F.lit(1))
+    j = o.join(n, ["src", "dst"], "full_outer")
+    agg = j.groupBy("src").agg(
+        F.sum(F.when(F.col("_o").isNull(), 1).otherwise(0)).alias("added"),
+        F.sum(F.when(F.col("_n").isNull(), 1).otherwise(0)).alias("removed"),
+        F.sum(
+            F.when(F.col("_o").isNotNull() & F.col("_n").isNotNull(), 1).otherwise(0)
+        ).alias("retained"),
+    )
+    tot = F.col("added") + F.col("removed") + F.col("retained")
+    return agg.select(
+        "src",
+        "added",
+        "removed",
+        "retained",
+        F.round(
+            (F.col("added") + F.col("removed")).cast("double") / tot.cast("double"), 6
+        ).alias("churn_rate"),
+    )

@@ -526,3 +526,31 @@ def test_cli_round5j_ops(spark, tmp_path):
 
     with pytest.raises(SystemExit):
         main(["pagerank-warm", "--docs", SF])
+
+
+def test_cli_round5k_ops(spark, tmp_path):
+    out = tmp_path / "km"
+    main(["kmeans", "--docs", SF, "--output", str(out), "--k", "8"])
+    df = spark.read.parquet(str(out))
+    assert set(df.columns) == {"vec_id", "cluster", "cosine"}
+    assert df.count() == 500
+
+    out2 = tmp_path / "sd"
+    main(["semantic-dedup", "--docs", SF, "--output", str(out2),
+          "--k", "8", "--threshold", "0.35"])
+    df2 = spark.read.parquet(str(out2))
+    assert set(df2.columns) == {"vec_id", "cluster", "keep"}
+    assert 0 < df2.filter("not keep").count() < 500
+
+    old = tmp_path / "old_edges"
+    spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long").write.parquet(str(old))
+    new = tmp_path / "new_edges"
+    spark.createDataFrame([(1, 2), (1, 4)], "src long, dst long").write.parquet(str(new))
+    out3 = tmp_path / "churn"
+    main(["link-churn", "--edges", str(old), "--edges2", str(new),
+          "--output", str(out3), "--directed"])
+    df3 = spark.read.parquet(str(out3))
+    assert df3.count() == 1 and df3.first()["churn_rate"] == 0.666667
+
+    with pytest.raises(SystemExit):
+        main(["link-churn", "--edges", str(old)])
