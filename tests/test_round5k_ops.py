@@ -130,3 +130,42 @@ def test_link_churn_counts(spark):
     assert (got[3]["added"], got[3]["removed"], got[3]["retained"]) == (0, 1, 0)
     assert (got[4]["added"], got[4]["removed"], got[4]["retained"]) == (1, 0, 0)
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_sample_frame_indices_rule():
+    from graphriccicurvature_spark.operators.multimodal import sample_frame_indices
+
+    assert sample_frame_indices(8, 3) == [0, 3, 7]
+    assert sample_frame_indices(2, 3) == [0, 1]      # short video: dedup
+    assert sample_frame_indices(1, 3) == [0]
+    assert sample_frame_indices(5, 1) == [2]         # k=1: middle frame
+    assert sample_frame_indices(10, 4) == [0, 3, 6, 9]
+    assert sample_frame_indices(0, 3) == []
+
+
+def test_frame_sample_decode_and_errors(spark):
+    from graphriccicurvature_spark.operators.multimodal import (
+        encode_video_raw,
+        frame_sample,
+    )
+
+    rng = np.random.RandomState(3)
+    vid = rng.randint(0, 256, size=(6, 4, 5, 3)).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_video_raw(vid))),
+        (2, bytearray(b"\x00\x01notavideo")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {(r["id"], r["frame_idx"]): r for r in frame_sample(df, "id", "payload", k=3).collect()}
+    # video 1: frames 0, 2, 5 of 6; sums match the raw array exactly
+    for fi in (0, 2, 5):
+        r = got[(1, fi)]
+        sums = vid[fi].reshape(-1, 3).sum(axis=0)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(x) for x in sums)
+        assert r["n_frames_total"] == 6 and r["decode_error"] is None
+    # corrupt + null payloads: one decode_error row each, null frame fields
+    for bad in (2, 3):
+        r = got[(bad, None)]
+        assert r["decode_error"] and r["sum_r"] is None and r["n_frames_total"] is None
+    assert len(got) == 5
