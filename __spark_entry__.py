@@ -1922,6 +1922,45 @@ def _q_frame_sample(spark, sf):
     )
 
 
+def _q_audio_stats(spark, sf):
+    """Real audio decode under a value-level oracle: deterministic WAV
+    PCM16 payloads (n = 200 + id%300 samples at 8000 + (id%3)*4000 Hz,
+    sample formula below) round-trip through multimodal.encode_wav_pcm16
+    -> audio_features; DuckDB re-derives n_samples/rate/sum_abs/
+    zero_crossings from the same arithmetic — a hash match proves the
+    RIFF walk recovered every sample byte-exactly."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _docs(spark, sf).select("doc_id")
+
+    def gen(batches):
+        from graphriccicurvature_spark.operators.multimodal import encode_wav_pcm16
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n, rate = 200 + i % 300, 8000 + (i % 3) * 4000
+                t = np.arange(n, dtype=np.int64)
+                s = ((i * 7919 + t * 104729) % 65536 - 32768).astype(np.int16)
+                ids.append(i)
+                payloads.append(encode_wav_pcm16(s, rate))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from graphriccicurvature_spark.operators.multimodal import audio_features
+
+    wavs = docs.mapInPandas(
+        gen, StructType([StructField("doc_id", LongType()), StructField("payload", BinaryType())])
+    )
+    return audio_features(wavs, "doc_id", "payload").select(
+        F.col("id").alias("doc_id"), "n_samples", "sample_rate",
+        "sum_abs", "zero_crossings",
+    )
+
+
 def _q_kmeans_clusters(spark, sf):
     """Spherical k-means (k=8, one 9dp-rounded Lloyd round) over the
     embeddings table — the SemDeDup/cluster-balanced-mixing clustering
@@ -2118,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_dedup": _q_snapshot_dedup,
         "ngram_containment": _q_ngram_containment,
         "ppr_sweep_25": _q_ppr_sweep,
+        "audio_stats": _q_audio_stats,
     }
 
 
@@ -5603,6 +5643,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum((2*doc_id + 5*x + f) % 256) AS BIGINT) AS sum_g,
                CAST(sum((doc_id + 11*y + 2*f) % 256) AS BIGINT) AS sum_b
         FROM px GROUP BY doc_id, t, f
+    """
+    # audio stats: replay the PCM16 synthesis formula and the exact
+    # integer stats (zero crossing = strict sign product < 0 on adjacent
+    # samples, matching the numpy x[:-1]*x[1:] < 0 definition)
+    sql["audio_stats"] = """
+        WITH a AS (
+            SELECT doc_id, 200 + doc_id % 300 AS n,
+                   8000 + (doc_id % 3) * 4000 AS rate
+            FROM documents
+        ),
+        s AS (
+            SELECT a.doc_id, a.n, a.rate, t.t,
+                   ((a.doc_id * 7919 + t.t * 104729) % 65536) - 32768 AS v
+            FROM a, LATERAL (SELECT unnest(range(0, a.n)) AS t) t
+        ),
+        w AS (
+            SELECT doc_id, n, rate, v,
+                   lead(v) OVER (PARTITION BY doc_id ORDER BY t) AS nv
+            FROM s
+        )
+        SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+               CAST(max(rate) AS BIGINT) AS sample_rate,
+               CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+               CAST(sum(CASE WHEN nv IS NOT NULL AND v * nv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_crossings
+        FROM w GROUP BY doc_id
     """
     # link churn: set-semantic full outer join of the two snapshot edge
     # sets on (src, dst), per-src added/removed/retained + churn rate

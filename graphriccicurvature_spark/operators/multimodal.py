@@ -318,3 +318,93 @@ def frame_sample(df: DataFrame, id_col: str, bin_col: str, k: int = 3) -> DataFr
             yield pd.DataFrame(rows)
 
     return df.select(id_col, bin_col).mapInPandas(extract, FRAME_SAMPLE_SCHEMA)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono samples -> minimal RIFF/WAVE PCM16 file. Test/synthesis
+    helper completing the uncompressed-modality triad (PPM image, RVF
+    video, WAV audio): canonical 44-byte header + little-endian PCM."""
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    import struct
+
+    data = samples.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+    hdr += struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return hdr + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy WAV decode (PCM16 mono). Walks RIFF chunks, so files
+    with extra chunks (LIST, fact) parse too. Returns (samples, rate);
+    compressed/float/multichannel WAV raises — batch paths map failures
+    to decode_error rows."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"only RIFF/WAVE decodes without codec libraries; got {payload[:4]!r}"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM16 mono supported (format={audio_format}, "
+            f"channels={channels}, bits={bits})"
+        )
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Real audio decode -> exact stats over mapInPandas: sample count,
+    rate, sum of absolute amplitudes, and zero crossings (adjacent-sample
+    strict sign products < 0) — the silence/clipping/energy triage a
+    speech-data pipeline runs before expensive transcription. Integer
+    outputs keep the stage replayable by the DuckDB oracle; undecodable
+    payloads yield decode_error rows, never failed tasks."""
+
+    def extract(batches):
+        for pdf in batches:
+            rows = {f: [] for f in (
+                "id", "n_samples", "sample_rate", "sum_abs", "zero_crossings",
+                "decode_error")}
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                rows["id"].append(int(i))
+                try:
+                    s, rate = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                except (NotImplementedError, ValueError) as e:
+                    for c in ("n_samples", "sample_rate", "sum_abs", "zero_crossings"):
+                        rows[c].append(None)
+                    rows["decode_error"].append(str(e)[:120])
+                    continue
+                x = s.astype(np.int64)
+                rows["n_samples"].append(int(x.size))
+                rows["sample_rate"].append(int(rate))
+                rows["sum_abs"].append(int(np.abs(x).sum()))
+                rows["zero_crossings"].append(int((x[:-1] * x[1:] < 0).sum()))
+                rows["decode_error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, bin_col).mapInPandas(extract, AUDIO_STATS_SCHEMA)

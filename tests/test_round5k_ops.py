@@ -169,3 +169,48 @@ def test_frame_sample_decode_and_errors(spark):
         r = got[(bad, None)]
         assert r["decode_error"] and r["sum_r"] is None and r["n_frames_total"] is None
     assert len(got) == 5
+
+
+def test_wav_decode_chunk_walk_and_rejections():
+    import struct
+
+    from graphriccicurvature_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    s = (np.arange(64) * 31 % 65536 - 32768).astype(np.int16)
+    # insert a LIST chunk between fmt and data: the RIFF walk must skip it
+    plain = encode_wav_pcm16(s, 8000)
+    fmt_chunk = plain[12:36]
+    data_chunk = plain[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size -> padded
+    riff_body = b"WAVE" + fmt_chunk + extra + data_chunk
+    withlist = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    d, rate = decode_wav_pcm16(withlist)
+    assert (d == s).all() and rate == 8000
+
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(b"OggS____WAVE")
+    # stereo header must be rejected, not misparsed
+    stereo = bytearray(plain)
+    stereo[22] = 2
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav_pcm16(bytes(stereo))
+
+
+def test_audio_features_stats(spark):
+    from graphriccicurvature_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    s = np.array([100, -5, 3, 0, -2, 7], dtype=np.int16)
+    rows = [(1, bytearray(encode_wav_pcm16(s, 12000))), (2, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in audio_features(df, "id", "payload").collect()}
+    r = got[1]
+    # crossings: 100->-5, -5->3, -2->7 (0 boundaries are not strict sign flips)
+    assert (r["n_samples"], r["sample_rate"], r["sum_abs"], r["zero_crossings"]) == (
+        6, 12000, 117, 3)
+    assert got[2]["decode_error"] and got[2]["n_samples"] is None
