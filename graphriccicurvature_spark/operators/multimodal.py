@@ -288,6 +288,8 @@ def frame_sample(df: DataFrame, id_col: str, bin_col: str, k: int = 3) -> DataFr
     fan-out is k rows per input row (bounded, no shuffle). Exact integer
     channel sums (not float means) keep the whole stage replayable by the
     DuckDB oracle."""
+    if k < 1:
+        raise ValueError(f"frame_sample: k must be >= 1, got {k}")
 
     def extract(batches):
         for pdf in batches:

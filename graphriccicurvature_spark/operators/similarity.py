@@ -383,6 +383,10 @@ def kmeans_clusters(
     centroid. The reference repo has no analog; semantics are the
     published SemDeDup/k-means definitions.
     """
+    if k < 1:
+        raise ValueError(f"kmeans_clusters: k must be >= 1, got {k}")
+    if rounds < 0:
+        raise ValueError(f"kmeans_clusters: rounds must be >= 0, got {rounds}")
     spark = vectors.sparkSession
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")

@@ -214,3 +214,16 @@ def test_audio_features_stats(spark):
     assert (r["n_samples"], r["sample_rate"], r["sum_abs"], r["zero_crossings"]) == (
         6, 12000, 117, 3)
     assert got[2]["decode_error"] and got[2]["n_samples"] is None
+
+
+def test_degenerate_params_raise(spark):
+    from graphriccicurvature_spark.operators.multimodal import frame_sample
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="k must be"):
+        kmeans_clusters(df, k=0)
+    with pytest.raises(ValueError, match="rounds must be"):
+        kmeans_clusters(df, k=1, rounds=-1)
+    b = spark.createDataFrame([(1, bytearray(b"x"))], "id long, payload binary")
+    with pytest.raises(ValueError, match="k must be"):
+        frame_sample(b, "id", "payload", k=0)
