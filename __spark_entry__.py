@@ -1922,6 +1922,34 @@ def _q_frame_sample(spark, sf):
     )
 
 
+def _q_boilerplate_strip(spark, sf):
+    """Host-scoped template stripping: re-chunk each doc into 6-word
+    paragraphs (same algebra as paragraph_dedup), append a per-site
+    footer paragraph to 90% of each source's docs (doc_id % 10 != 0),
+    then strip every paragraph present in >= 50% of its source's docs.
+    The oracle replays chunking, footer injection and the host-frac rule
+    value-for-value; exactly the footers must come back out."""
+    from graphriccicurvature_spark.operators.dedup import boilerplate_strip
+
+    docs = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / F.lit(6.0)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(words, i * 6 + 1, 6), " "),
+    )
+    base = F.array_join(paras, "\n\n")
+    footer = F.concat(
+        F.lit("site notice "), F.col("source"), F.lit(" all rights reserved")
+    )
+    text = F.when(
+        F.col("doc_id") % 10 != 0, F.concat(base, F.lit("\n\n"), footer)
+    ).otherwise(base)
+    chunked = docs.select("doc_id", "source", text.alias("text"))
+    return boilerplate_strip(
+        chunked, host_col="source", min_frac=0.5, min_docs=2
+    )
+
+
 def _q_audio_stats(spark, sf):
     """Real audio decode under a value-level oracle: deterministic WAV
     PCM16 payloads (n = 200 + id%300 samples at 8000 + (id%3)*4000 Hz,
@@ -2158,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _q_ngram_containment,
         "ppr_sweep_25": _q_ppr_sweep,
         "audio_stats": _q_audio_stats,
+        "boilerplate_strip": _q_boilerplate_strip,
     }
 
 
@@ -5643,6 +5672,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum((2*doc_id + 5*x + f) % 256) AS BIGINT) AS sum_g,
                CAST(sum((doc_id + 11*y + 2*f) % 256) AS BIGINT) AS sum_b
         FROM px GROUP BY doc_id, t, f
+    """
+    # host-scoped boilerplate: chunk -> inject footer -> per-(source,
+    # paragraph) doc frequency vs per-source doc count -> anti-join ->
+    # ordered reassembly (same chunk algebra as paragraph_dedup)
+    sql["boilerplate_strip"] = """
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        p0 AS (
+            SELECT doc_id, source, CAST(j.j AS BIGINT) AS pos,
+                   array_to_string(ws[j.j*6+1 : j.j*6+6], ' ') AS para
+            FROM w, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(ws) / 6.0) AS BIGINT))) AS j
+            ) j
+        ),
+        pfoot AS (
+            SELECT doc_id, source, CAST(ceil(len(ws) / 6.0) AS BIGINT) AS pos,
+                   'site notice ' || source || ' all rights reserved' AS para
+            FROM w WHERE doc_id % 10 <> 0
+        ),
+        pp AS (
+            SELECT * FROM (SELECT * FROM p0 UNION ALL SELECT * FROM pfoot)
+            WHERE para <> ''
+        ),
+        hd AS (SELECT source, count(DISTINCT doc_id) AS host_docs FROM documents GROUP BY source),
+        c AS (
+            SELECT source, md5(para) AS h, count(DISTINCT doc_id) AS para_df
+            FROM pp GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT c.source, c.h
+            FROM c JOIN hd USING (source)
+            WHERE para_df >= 2 AND para_df >= 0.5 * host_docs
+        ),
+        k AS (
+            SELECT pp.doc_id, pp.pos, pp.para
+            FROM pp LEFT JOIN b ON b.source = pp.source AND b.h = md5(pp.para)
+            WHERE b.h IS NULL
+        ),
+        t AS (SELECT doc_id, count(*) AS n_paragraphs FROM pp GROUP BY 1),
+        ka AS (
+            SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+                   count(*) AS n_kept
+            FROM k GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.source,
+               coalesce(ka.text, '') AS text,
+               CAST(coalesce(t.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
+               CAST(coalesce(t.n_paragraphs, 0) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
+        FROM documents d
+        LEFT JOIN t USING (doc_id) LEFT JOIN ka USING (doc_id)
     """
     # audio stats: replay the PCM16 synthesis formula and the exact
     # integer stats (zero crossing = strict sign product < 0 on adjacent

@@ -202,6 +202,15 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.dedup import paragraph_dedup
 
         return paragraph_dedup(_load_docs(spark, args), min_docs=args.min_docs)
+    if op == "boilerplate":
+        from .operators.dedup import boilerplate_strip
+
+        return boilerplate_strip(
+            _load_docs(spark, args),
+            host_col=args.host_col,
+            min_frac=args.min_frac,
+            min_docs=args.min_docs,
+        )
     if op == "containment":
         from .operators.dedup import ngram_containment_pairs
 
@@ -745,7 +754,7 @@ OPS = (
     "mis matching bpe-tokens coloring simrank curation-funnel asof-join "
     "range-join square-count dup-histogram robustness paragraph-dedup "
     "snapshot-dedup containment ppr-sweep scan pagerank-warm kmeans "
-    "semantic-dedup link-churn"
+    "semantic-dedup link-churn boilerplate"
 ).split()
 
 
@@ -812,6 +821,11 @@ def main(argv: list[str] | None = None) -> None:
                    "(node, pagerank) from the previous crawl's run")
     p.add_argument("--edges2", help="link-churn: parquet of the NEW "
                    "snapshot's (src, dst) edges")
+    p.add_argument("--host-col", default="source",
+                   help="boilerplate: column holding the host/site key")
+    p.add_argument("--min-frac", type=float, default=0.5,
+                   help="boilerplate: min fraction of a host's docs a "
+                   "paragraph must appear in to count as template")
     p.add_argument("--alpha-katz", type=float, default=0.1,
                    help="katz attenuation factor")
     p.add_argument("--beta", type=float, default=1.0, help="katz base weight")

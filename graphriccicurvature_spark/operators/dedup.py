@@ -751,3 +751,93 @@ def ngram_containment_pairs(
         )
     )
     return directed.filter(F.col("containment") >= threshold)
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    host_col: str = "host",
+    sep: str = "\n\n",
+    min_frac: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Host-scoped template/boilerplate removal: drop every paragraph
+    that appears in >= ``min_frac`` of its host's documents (and >=
+    ``min_docs`` absolute) — nav bars, footers, cookie banners, legal
+    blurbs are SITE templates, so the document-frequency test must be
+    per host, not corpus-wide (:func:`paragraph_dedup`'s rule): a
+    paragraph in 80% of one site's pages is boilerplate even if globally
+    rare, while a globally popular quote appearing once on a host is
+    content. The trafilatura/RefinedWeb template-stripping stage as pure
+    DataFrame algebra.
+
+    Plan shape (all codegen, no UDFs): posexplode(split) -> md5 ->
+    count(DISTINCT doc) per (host, hash) with map-side partial agg ->
+    join against per-host doc counts -> anti-join back -> per-document
+    ordered reassembly. Group state is bounded by a single document's
+    paragraph list; the (host, hash) key spreads template-heavy hosts
+    across partitions by hash, so one mega-site cannot skew a task.
+
+    Returns ``(id, host, text, n_paragraphs, n_removed)``.
+    """
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError(f"boilerplate_strip: min_frac must be in (0, 1], got {min_frac}")
+    if min_docs < 1:
+        raise ValueError(f"boilerplate_strip: min_docs must be >= 1, got {min_docs}")
+    import re as _re
+
+    parts = (
+        df.select(
+            F.col(id_col),
+            F.col(host_col),
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep))),
+        )
+        .withColumnRenamed("col", "para")
+        .filter(F.col("para") != "")
+        .withColumn("h", F.md5(F.col("para")))
+    )
+    host_docs = df.groupBy(host_col).agg(
+        F.countDistinct(F.col(id_col)).alias("_host_docs")
+    )
+    pf = parts.groupBy(host_col, "h").agg(
+        F.countDistinct(F.col(id_col)).alias("_para_df")
+    )
+    boiler = (
+        pf.join(host_docs, host_col)
+        .filter(
+            (F.col("_para_df") >= F.lit(int(min_docs)))
+            & (F.col("_para_df") >= F.lit(float(min_frac)) * F.col("_host_docs"))
+        )
+        .select(host_col, "h")
+    )
+    kept = (
+        parts.join(boiler, [host_col, "h"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("_text"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    totals = parts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    return (
+        df.select(id_col, host_col)
+        .join(totals, id_col, "left")
+        .join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(host_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_paragraphs"), F.lit(0)).alias("n_paragraphs"),
+            (
+                F.coalesce(F.col("n_paragraphs"), F.lit(0))
+                - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )

@@ -554,3 +554,17 @@ def test_cli_round5k_ops(spark, tmp_path):
 
     with pytest.raises(SystemExit):
         main(["link-churn", "--edges", str(old)])
+
+
+def test_cli_boilerplate(spark, tmp_path):
+    docs = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(1, "s", "body one\n\nfoot"), (2, "s", "body two\n\nfoot"), (3, "s", "body three")],
+        "doc_id long, source string, text string",
+    ).write.parquet(str(docs))
+    out = tmp_path / "bp"
+    main(["boilerplate", "--docs", str(docs), "--output", str(out),
+          "--min-frac", "0.5"])
+    df = spark.read.parquet(str(out))
+    assert df.count() == 3
+    assert df.filter("n_removed = 1").count() == 2

@@ -227,3 +227,42 @@ def test_degenerate_params_raise(spark):
     b = spark.createDataFrame([(1, bytearray(b"x"))], "id long, payload binary")
     with pytest.raises(ValueError, match="k must be"):
         frame_sample(b, "id", "payload", k=0)
+
+
+def test_boilerplate_strip_host_scoped(spark):
+    from graphriccicurvature_spark.operators.dedup import boilerplate_strip
+
+    foot_a = "copyright site-a"
+    rows = []
+    # host a: 4 docs, footer on 3 of 4 (75% >= 50% -> boilerplate)
+    for i in range(4):
+        body = f"unique body {i}"
+        rows.append((i, "a", body + ("\n\n" + foot_a if i < 3 else "")))
+    # host b: the SAME footer text appears in only 1 of 3 docs -> content
+    rows.append((10, "b", "b text one\n\n" + foot_a))
+    rows.append((11, "b", "b text two"))
+    rows.append((12, "b", "b text three"))
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {r["doc_id"]: r for r in
+           boilerplate_strip(df, min_frac=0.5, min_docs=2).collect()}
+    for i in range(3):
+        assert got[i]["text"] == f"unique body {i}" and got[i]["n_removed"] == 1
+    assert got[3]["n_removed"] == 0
+    # host-scoping: same string survives on host b (below b's threshold)
+    assert got[10]["text"] == "b text one\n\n" + foot_a and got[10]["n_removed"] == 0
+    assert {got[i]["host"] for i in got} == {"a", "b"}
+
+    with pytest.raises(ValueError, match="min_frac"):
+        boilerplate_strip(df, min_frac=0.0)
+    with pytest.raises(ValueError, match="min_docs"):
+        boilerplate_strip(df, min_docs=0)
+
+
+def test_boilerplate_strip_plan_no_python(spark):
+    from graphriccicurvature_spark.operators.dedup import boilerplate_strip
+
+    df = spark.createDataFrame(
+        [(1, "h", "x\n\ny")], "doc_id long, host string, text string"
+    )
+    p = boilerplate_strip(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
