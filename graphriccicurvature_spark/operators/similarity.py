@@ -134,7 +134,7 @@ def _seed_centroids(v: DataFrame, n: int) -> list:
         for r in v.orderBy("vid").limit(n).collect()
     ]
     if not cents:
-        raise ValueError("centroid seeding: corpus is empty")
+        raise ValueError("corpus is empty, no centroids to seed")
     cents.sort(key=lambda t: t[0])
     return cents
 
