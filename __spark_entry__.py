@@ -1922,6 +1922,21 @@ def _q_frame_sample(spark, sf):
     )
 
 
+def _q_cc_incremental(spark, sf):
+    """Incremental crawl-update connected components: cold CC on last
+    crawl's 90% edge subset, then WARM CC on the full graph seeded from
+    those labels (``connected_components(init=...)``, additions-only
+    model). The oracle is deliberately the plain cold min-label CC of the
+    full graph — warm == cold IS the correctness claim (the warm path
+    must reach the identical fixpoint, just in fewer rounds)."""
+    from graphriccicurvature_spark.operators.components import connected_components
+
+    e = edges_from_documents(spark, sf)
+    base = e.filter((F.col("src") * 1000003 + F.col("dst")) % 10 != 0)
+    init = connected_components(base)
+    return connected_components(e, init=init).select("node", "component")
+
+
 def _q_boilerplate_strip(spark, sf):
     """Host-scoped template stripping: re-chunk each doc into 6-word
     paragraphs (same algebra as paragraph_dedup), append a per-site
@@ -2187,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep_25": _q_ppr_sweep,
         "audio_stats": _q_audio_stats,
         "boilerplate_strip": _q_boilerplate_strip,
+        "cc_incremental": _q_cc_incremental,
     }
 
 
@@ -5672,6 +5688,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum((2*doc_id + 5*x + f) % 256) AS BIGINT) AS sum_g,
                CAST(sum((doc_id + 11*y + 2*f) % 256) AS BIGINT) AS sum_b
         FROM px GROUP BY doc_id, t, f
+    """
+    # incremental CC: the warm two-phase Spark run must land on exactly
+    # the cold min-label fixpoint of the FULL graph (same recursion as
+    # cc_exact) — warm == cold is the semantic contract of init=
+    sql["cc_incremental"] = f"""
+        WITH RECURSIVE {_E},
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        symself AS (
+            SELECT src, dst FROM edges
+            UNION SELECT dst AS src, src AS dst FROM edges
+            UNION SELECT node AS src, node AS dst FROM nodes
+        ),
+        lab(iter, node, label) AS (
+            SELECT 0, node, node FROM nodes
+            UNION ALL
+            SELECT l.iter + 1, s.dst AS node, min(l.label) AS label
+            FROM lab l JOIN symself s ON s.src = l.node
+            WHERE l.iter < 40
+            GROUP BY l.iter, s.dst
+        )
+        SELECT node, label AS component FROM lab WHERE iter = 40
     """
     # host-scoped boilerplate: chunk -> inject footer -> per-(source,
     # paragraph) doc frequency vs per-source doc count -> anti-join ->

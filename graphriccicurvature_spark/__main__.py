@@ -175,7 +175,10 @@ def run_op(spark: SparkSession, args) -> DataFrame:
     if op == "components":
         from .operators.components import connected_components
 
-        return connected_components(_load_edges(spark, args))
+        init = (
+            spark.read.parquet(args.init_labels) if args.init_labels else None
+        )
+        return connected_components(_load_edges(spark, args), init=init)
     if op == "lpa":
         from .operators.labelprop import label_propagation
 
@@ -821,6 +824,9 @@ def main(argv: list[str] | None = None) -> None:
                    "(node, pagerank) from the previous crawl's run")
     p.add_argument("--edges2", help="link-churn: parquet of the NEW "
                    "snapshot's (src, dst) edges")
+    p.add_argument("--init-labels", help="components: parquet of "
+                   "(node, component) from the previous crawl's run — "
+                   "warm start, EDGE ADDITIONS ONLY")
     p.add_argument("--host-col", default="source",
                    help="boilerplate: column holding the host/site key")
     p.add_argument("--min-frac", type=float, default=0.5,

@@ -106,20 +106,43 @@ def connected_components_hybrid(
 
 
 def connected_components(
-    edges: DataFrame, vertices: DataFrame | None = None, max_iter: int = 64
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 64,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``(node, component)`` with component = min node id.
 
     ``vertices`` (optional single-column ``node`` DataFrame) adds isolated
     nodes as their own singleton components.
+
+    ``init`` (optional ``(node, component)`` from a previous run)
+    warm-starts the fixpoint for the incremental-crawl pattern — the CC
+    twin of ``pagerank(init=...)``. Each prior label becomes one extra
+    edge (node, old_component): old labels are min-node-ids, so formerly
+    connected regions collapse to their old minimum in the first star
+    round instead of over O(log D) rounds, and only genuinely new
+    structure pays iteration. VALID FOR EDGE ADDITIONS ONLY (new ⊇ old —
+    the union-of-snapshots model of a growing crawl): label edges assert
+    "these nodes are connected", which deletions would falsify. The
+    result is exactly the cold min-label components of the new graph —
+    warm(full, init=cold(subset)) == cold(full), tested as an identity.
     """
     spark = edges.sparkSession
+    if init is not None:
+        edges = edges.select("src", "dst").union(
+            init.select(
+                F.col("node").alias("src"), F.col("component").alias("dst")
+            ).filter(F.col("src") != F.col("dst"))
+        )
     E = _orient(edges)
     all_nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     )
     if vertices is not None:
         all_nodes = all_nodes.union(vertices.select(F.col(vertices.columns[0]).alias("node")))
+    if init is not None:
+        all_nodes = all_nodes.union(init.select("node"))
     all_nodes = all_nodes.distinct()
 
     prev_sig = None

@@ -568,3 +568,14 @@ def test_cli_boilerplate(spark, tmp_path):
     df = spark.read.parquet(str(out))
     assert df.count() == 3
     assert df.filter("n_removed = 1").count() == 2
+
+
+def test_cli_components_warm_start(spark, tmp_path):
+    cold = tmp_path / "cc0"
+    main(["components", "--docs", SF, "--output", str(cold)])
+    warm = tmp_path / "cc1"
+    main(["components", "--docs", SF, "--output", str(warm),
+          "--init-labels", str(cold)])
+    a = {r["node"]: r["component"] for r in spark.read.parquet(str(cold)).collect()}
+    b = {r["node"]: r["component"] for r in spark.read.parquet(str(warm)).collect()}
+    assert a == b

@@ -266,3 +266,25 @@ def test_boilerplate_strip_plan_no_python(spark):
     )
     p = boilerplate_strip(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_cc_incremental_warm_equals_cold(spark):
+    from graphriccicurvature_spark.operators.components import connected_components
+
+    rng = np.random.RandomState(5)
+    full = [(int(a), int(b)) for a, b in rng.randint(0, 120, size=(200, 2)) if a != b]
+    sub = [p for i, p in enumerate(full) if i % 7 != 0]  # "last crawl"
+    f = spark.createDataFrame(full, "src long, dst long")
+    s = spark.createDataFrame(sub, "src long, dst long")
+    cold = {r["node"]: r["component"] for r in connected_components(f).collect()}
+    init = connected_components(s)
+    warm = {r["node"]: r["component"]
+            for r in connected_components(f, init=init).collect()}
+    assert warm == cold
+
+    # a node from the old crawl that is isolated in the new edge set must
+    # persist (with its old connectivity asserted by its label edge)
+    extra = spark.createDataFrame([(999, 0)], "node long, component long")
+    warm2 = {r["node"]: r["component"]
+             for r in connected_components(f, init=init.union(extra)).collect()}
+    assert warm2[999] == cold[0]
