@@ -1922,6 +1922,31 @@ def _q_frame_sample(spark, sf):
     )
 
 
+def _q_url_templates(spark, sf):
+    """Crawler route-template mining: deterministic URLs with three route
+    shapes per host (/p/{id}, /cat/{c}/item/{id}/{hex-token}, /about)
+    are synthesized from doc_id, then url_template_stats collapses them
+    to (host, template, n_urls). The oracle replays URL construction and
+    both template regexes (RE2-safe) verbatim."""
+    from graphriccicurvature_spark.operators.urltools import url_template_stats
+
+    d = _docs(spark, sf).select("doc_id")
+    host = F.concat(F.lit("https://site"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example"))
+    tok = F.md5((F.col("doc_id") * 11).cast("string"))
+    path = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("/cat/"), (F.col("doc_id") % 5).cast("string"),
+                       F.lit("/item/"), F.col("doc_id").cast("string"),
+                       F.lit("/"), tok))
+        .otherwise(F.lit("/about"))
+    )
+    urls = d.select(F.concat(host, path).alias("url"))
+    return url_template_stats(urls)
+
+
 def _q_cc_incremental(spark, sf):
     """Incremental crawl-update connected components: cold CC on last
     crawl's 90% edge subset, then WARM CC on the full graph seeded from
@@ -2203,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": _q_audio_stats,
         "boilerplate_strip": _q_boilerplate_strip,
         "cc_incremental": _q_cc_incremental,
+        "url_templates": _q_url_templates,
     }
 
 
@@ -5688,6 +5714,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum((2*doc_id + 5*x + f) % 256) AS BIGINT) AS sum_g,
                CAST(sum((doc_id + 11*y + 2*f) % 256) AS BIGINT) AS sum_b
         FROM px GROUP BY doc_id, t, f
+    """
+    # URL route templates: replay URL synthesis + the two RE2-safe
+    # generalization regexes (hex runs >= 8 word-bounded, then digits)
+    sql["url_templates"] = """
+        WITH u AS (
+            SELECT 'https://site' || (doc_id % 7) || '.example' AS host_part,
+                   CASE
+                     WHEN doc_id % 3 = 0 THEN '/p/' || doc_id
+                     WHEN doc_id % 3 = 1 THEN '/cat/' || (doc_id % 5) || '/item/'
+                          || doc_id || '/' || md5(CAST(doc_id * 11 AS VARCHAR))
+                     ELSE '/about'
+                   END AS path
+            FROM documents
+        ),
+        t AS (
+            SELECT lower(regexp_extract(host_part || path,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_extract(host_part || path,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),
+                           '\\b[0-9a-f]{8,}\\b', '{hex}', 'g'),
+                       '[0-9]+', '{n}', 'g') AS template
+            FROM u
+        )
+        SELECT host, CASE WHEN template = '' THEN '/' ELSE template END AS template,
+               count(*) AS n_urls
+        FROM t GROUP BY 1, 2
     """
     # incremental CC: the warm two-phase Spark run must land on exactly
     # the cold min-label fixpoint of the FULL graph (same recursion as

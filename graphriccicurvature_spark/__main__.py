@@ -205,6 +205,12 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.dedup import paragraph_dedup
 
         return paragraph_dedup(_load_docs(spark, args), min_docs=args.min_docs)
+    if op == "url-templates":
+        from .operators.urltools import url_template_stats
+
+        if not args.pages:
+            sys.exit("url-templates needs --pages (parquet with a url column)")
+        return url_template_stats(spark.read.parquet(args.pages))
     if op == "boilerplate":
         from .operators.dedup import boilerplate_strip
 
@@ -757,7 +763,7 @@ OPS = (
     "mis matching bpe-tokens coloring simrank curation-funnel asof-join "
     "range-join square-count dup-histogram robustness paragraph-dedup "
     "snapshot-dedup containment ppr-sweep scan pagerank-warm kmeans "
-    "semantic-dedup link-churn boilerplate"
+    "semantic-dedup link-churn boilerplate url-templates"
 ).split()
 
 

@@ -86,3 +86,38 @@ def normalize_url_sql(url_expr: str) -> str:
         f"{scheme} || '://' || {host} || {path} || "
         f"CASE WHEN {query} = '' THEN '' ELSE '?' || {query} END"
     )
+
+
+def url_path_template(url: Column | str) -> Column:
+    """Generalize a URL path into its route template: long hex runs
+    (ids/hashes, >= 8 chars) become ``{hex}`` and digit runs become
+    ``{n}``, so ``/p/123`` and ``/p/987`` collapse to ``/p/{n}``. The
+    crawler-side pattern miner: template cardinality per host drives
+    crawl-frontier dedup ("this site has 3 routes, not 3M pages") and
+    spider-trap detection. Pure regexp algebra (whole-stage codegen);
+    every pattern is RE2-safe so the DuckDB oracle replays it verbatim.
+    Hex first, digits second, both word-bounded: an 8+-char hex run
+    (``deadbeef01``, and yes ``12345678`` — a long digit run is an id
+    either way) is ``{hex}``; shorter digit runs are ``{n}``."""
+    u = F.col(url) if isinstance(url, str) else url
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.regexp_replace(path, r"\b[0-9a-f]{8,}\b", "{hex}")
+    path = F.regexp_replace(path, r"[0-9]+", "{n}")
+    return path
+
+
+def url_template_stats(df, url_col: str = "url"):
+    """Per-(host, path-template) URL counts over a pages/frontier table:
+    one regexp projection + one codegen hash aggregate — at 100 TB the
+    result is |hosts| x |routes| rows, tiny, and the aggregation key
+    spreads a mega-host's URLs across partitions by template.
+
+    Returns ``(host, template, n_urls)``."""
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    return (
+        df.select(host.alias("host"), url_path_template(u).alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )

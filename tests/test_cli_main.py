@@ -579,3 +579,17 @@ def test_cli_components_warm_start(spark, tmp_path):
     a = {r["node"]: r["component"] for r in spark.read.parquet(str(cold)).collect()}
     b = {r["node"]: r["component"] for r in spark.read.parquet(str(warm)).collect()}
     assert a == b
+
+
+def test_cli_url_templates(spark, tmp_path):
+    pages = tmp_path / "pages.parquet"
+    spark.createDataFrame(
+        [("https://a.example/p/1",), ("https://a.example/p/2",)], "url string"
+    ).write.parquet(str(pages))
+    out = tmp_path / "tpl"
+    main(["url-templates", "--pages", str(pages), "--output", str(out)])
+    df = spark.read.parquet(str(out))
+    assert df.collect()[0]["template"] == "/p/{n}" and df.count() == 1
+
+    with pytest.raises(SystemExit):
+        main(["url-templates"])

@@ -288,3 +288,32 @@ def test_cc_incremental_warm_equals_cold(spark):
     warm2 = {r["node"]: r["component"]
              for r in connected_components(f, init=init.union(extra)).collect()}
     assert warm2[999] == cold[0]
+
+
+def test_url_path_template_rules(spark):
+    from graphriccicurvature_spark.operators.urltools import (
+        url_path_template,
+        url_template_stats,
+    )
+
+    rows = [
+        (1, "https://a.example/p/123"),
+        (2, "https://a.example/p/987?q=1"),
+        (3, "https://A.Example/cat/5/item/42/deadbeef01"),
+        (4, "https://a.example:443/about#frag"),
+        (5, "https://b.example"),
+        (6, "https://b.example/session/12345678/x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    t = {r["id"]: r["t"] for r in
+         df.select("id", url_path_template("url").alias("t")).collect()}
+    assert t[1] == "/p/{n}" and t[2] == "/p/{n}"          # query excluded
+    assert t[3] == "/cat/{n}/item/{n}/{hex}"
+    assert t[4] == "/about"                                # fragment excluded
+    assert t[5] == "/"                                     # empty path
+    assert t[6] == "/session/{hex}/x"                      # long digits = id
+    stats = {(r["host"], r["template"]): r["n_urls"]
+             for r in url_template_stats(df).collect()}
+    assert stats[("a.example", "/p/{n}")] == 2
+    assert stats[("a.example", "/cat/{n}/item/{n}/{hex}")] == 1  # host lowercased
+    assert stats[("b.example", "/")] == 1
