@@ -269,7 +269,7 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         from .operators.similarity import kmeans_clusters
 
         return kmeans_clusters(
-            _load_embeddings(spark, args), k=args.k, rounds=args.rounds or 1
+            _load_embeddings(spark, args), k=args.k, rounds=1 if args.rounds is None else args.rounds
         )
     if op == "semantic-dedup":
         from .operators.similarity import semantic_dedup
@@ -277,7 +277,7 @@ def run_op(spark: SparkSession, args) -> DataFrame:
         return semantic_dedup(
             _load_embeddings(spark, args),
             k=args.k,
-            rounds=args.rounds or 1,
+            rounds=1 if args.rounds is None else args.rounds,
             threshold=args.threshold,
         )
     if op == "link-churn":

@@ -352,6 +352,8 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"truncated fmt chunk ({len(body)} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
