@@ -24,25 +24,42 @@ def _orient(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(E: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+
+    Window form (round 6): one exchange on ``u`` computes the per-node min
+    in-row, and each symmetric row (u, v) with v > u directly emits
+    (v, m) — the join-based form paid a groupBy exchange PLUS a join
+    exchange PLUS a dedup exchange for the same set. Output is exactly one
+    row per input edge (possibly duplicated pairs — the round's closing
+    dedup in ``_small_star`` restores canonical form; set semantics are
+    identical because per-u minima ignore multiplicity)."""
+    from pyspark.sql import Window
+
     sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    m = sym.groupBy("u").agg(F.min("v").alias("mv")).select("u", F.least("mv", "u").alias("m"))
+    w = Window.partitionBy("u")
     return (
-        sym.join(m, "u")
+        sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
     )
 
 
 def _small_star(E: DataFrame) -> DataFrame:
-    """Within each node's smaller-neighbor star, rewire all to the minimum."""
-    # E is oriented u > v, so min(N_small(u) ∪ {u}) = min(v).
-    m = E.groupBy("u").agg(F.min("v").alias("m"))
-    nbrs = E.join(m, "u").filter(F.col("v") != F.col("m")).select(F.col("v").alias("u"), F.col("m").alias("v"))
-    selfs = m.select("u", F.col("m").alias("v"))
-    return nbrs.union(selfs).filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    """Within each node's smaller-neighbor star, rewire all to the minimum.
+
+    Window form over the big->small-oriented input: rows whose v IS the
+    per-u minimum emit the self arc (u, m) (at least one such row exists —
+    the minimum itself); every other row emits (v, m). One exchange for
+    the window + one for the closing dedup; the join-based form paid a
+    groupBy + join + union + dedup."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u")
+    out = E.withColumn("m", F.min("v").over(w)).select(
+        F.when(F.col("v") == F.col("m"), F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.col("m").alias("v"),
+    )
+    return out.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
 
 
 def connected_components_hybrid(
@@ -147,7 +164,11 @@ def connected_components(
 
     prev_sig = None
     for _ in range(max_iter):
-        E = _small_star(_large_star(E)).transform(truncate_plan)
+        # lazy checkpoint: the signature aggregate below is the action that
+        # materializes the round — one job per round instead of two
+        E = _small_star(_large_star(E)).transform(
+            lambda d: truncate_plan(d, eager=False)
+        )
         sig = E.agg(
             F.count("*").alias("c"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),

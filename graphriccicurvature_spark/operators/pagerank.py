@@ -6,9 +6,15 @@ Exactly NetworkX's update so fixture parity holds to 1e-6:
     dangle = sum of r over nodes with no out-edges
     stop when sum |r' - r| < N * tol   (or after a fixed iteration count)
 
-Structure per iteration: one shuffle join (ranks ⋈ edges on src) + one
-aggregation on dst; the node table and normalized edge table are computed
-once and reused. ``localCheckpoint`` truncates lineage every round.
+Per-round shuffle shape (round 6): the normalized transition table is
+hash-partitioned by ``src`` ONCE and cached, so each iteration reshuffles
+only the |V|-sized rank vector — the |E|-sized edge table never re-crosses
+an exchange (guide §2.4: two operations keyed the same way share one
+exchange). The dangling indicator rides the rank vector as a column, so the
+dangling-mass scalar is a plain aggregate instead of a per-round semi-join.
+``localCheckpoint`` truncates lineage every round; in fixed-iteration mode
+the checkpoint is lazy, so the next round's exchange build (or the caller's
+action) is what materializes it — no separate per-round job.
 """
 
 from __future__ import annotations
@@ -48,6 +54,8 @@ def pagerank(
         edges = edges.select("src", "dst", "weight").union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
         )
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -56,33 +64,52 @@ def pagerank(
     )
     n = nodes.count()
     wout = edges.groupBy("src").agg(F.sum("weight").alias("wout"))
-    # normalized transition edges, computed once
-    trans = edges.join(wout, "src").select(
-        "src", "dst", (F.col("weight") / F.col("wout")).alias("p")
-    ).cache()
+    # normalized transition edges, computed once — pre-partitioned by the
+    # per-round join key so the edge table is shuffled exactly once for the
+    # whole run, not once per iteration
+    trans = (
+        edges.join(wout, "src")
+        .select("src", "dst", (F.col("weight") / F.col("wout")).alias("p"))
+        .repartition(n_part, "src")
+        .cache()
+    )
     trans.count()
-    out_nodes = wout.select(F.col("src").alias("node"))
-    dangling = nodes.join(out_nodes, "node", "left_anti").cache()
+    # dangling flag folded onto the node table (and carried through the rank
+    # vector) — the per-round dangling-mass scalar becomes a column aggregate
+    # with no join; the node table is pre-partitioned so the per-round
+    # "attach new ranks" join is co-partitioned with the contribution
+    # aggregate (zero exchange on either side)
+    ndf = (
+        nodes.join(
+            wout.select(F.col("src").alias("node"), F.lit(1).alias("_o")),
+            "node",
+            "left",
+        )
+        .select("node", F.col("_o").isNull().alias("_dang"))
+        .repartition(n_part, "node")
+        .cache()
+    )
 
     if init is None:
-        ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
+        ranks = ndf.withColumn("pagerank", F.lit(1.0 / n))
     else:
         ranks = (
-            nodes.join(
+            ndf.join(
                 init.select("node", F.col("pagerank").alias("_init")), "node", "left"
             )
             .select(
-                "node", F.coalesce("_init", F.lit(1.0 / n)).alias("pagerank")
+                "node", "_dang", F.coalesce("_init", F.lit(1.0 / n)).alias("pagerank")
             )
         )
     base = (1.0 - damping) / n
     iters = num_iterations if num_iterations is not None else max_iter
     for _ in range(iters):
-        # dangling mass folded in as a broadcast scalar aggregate — keeps the
-        # whole round a single job (no driver-side collect for the formula)
-        dangle_df = (
-            ranks.join(dangling, "node", "left_semi")
-            .agg(F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("_dangle"))
+        # dangling mass folded in as a broadcast scalar aggregate over the
+        # in-row flag — no semi-join, and the whole round stays one job
+        dangle_df = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_dang"), F.col("pagerank"))), F.lit(0.0)
+            ).alias("_dangle")
         )
         contrib = (
             trans.join(ranks, trans.src == ranks.node)
@@ -97,7 +124,7 @@ def pagerank(
         )
         if num_iterations is None:
             # convergence mode, ONE job per round: joining `ranks` (same node
-            # set as `nodes`) keeps the previous rank in-row, so the L1 delta
+            # set as `ndf`) keeps the previous rank in-row, so the L1 delta
             # is a plain column — and the lazy plan truncation makes the
             # delta aggregate the very action that materializes the round.
             staged = (
@@ -105,6 +132,7 @@ def pagerank(
                 .crossJoin(F.broadcast(dangle_df))
                 .select(
                     "node",
+                    "_dang",
                     new_rank.alias("new_pagerank"),
                     F.abs(new_rank - F.col("pagerank")).alias("_delta"),
                 )
@@ -116,10 +144,14 @@ def pagerank(
             if err < n * tol:
                 break
         else:
+            # fixed-iteration mode: build from the pre-partitioned node
+            # table (co-partitioned with the contribution aggregate — no
+            # exchange on either join side) and defer materialization to
+            # whatever touches the round next
             ranks = (
-                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                ndf.join(contrib, ndf.node == contrib.dst, "left")
                 .crossJoin(F.broadcast(dangle_df))
-                .select("node", new_rank.alias("pagerank"))
-                .transform(truncate_plan)
+                .select("node", "_dang", new_rank.alias("pagerank"))
+                .transform(lambda d: truncate_plan(d, eager=False))
             )
-    return ranks
+    return ranks.select("node", "pagerank")

@@ -29,40 +29,28 @@ def minimum_spanning_forest(
     edges: DataFrame,
     rounds: int | None = None,
     max_rounds: int = 40,
+    collect_cap: int = 100_000,
 ) -> DataFrame:
-    """Borůvka minimum spanning forest. Returns the forest's edge rows
-    ``(src, dst, weight)`` (canonical ``src < dst``; |components| fewer
-    rows than nodes).
-
-    ``rounds=None`` runs to fixpoint with ONE count action per round
-    (component count at least halves per round, so it takes <= ceil(log2 n)
-    rounds); ``rounds=k`` runs exactly k rounds with no driver action —
-    the unrolled-oracle form. Labels between rounds come from the hybrid
-    connected-components over the accumulated forest (driver union-find
-    under its cap, distributed large/small-star fixpoint above it); the
-    forest never exceeds n-1 edges no matter how big |E| is, so the label
-    step scales with |V|, not |E|.
-
-    Scale shape per round: two broadcast-ready label joins against the
-    (|V|-sized) label table, one filter dropping intra-component edges
-    (the edge frontier shrinks monotonically), one min aggregate keyed by
-    component (map-side combinable; the struct min is the deterministic
-    total order), lineage truncated so round plans stay constant-size.
-    """
     und = canonicalize(edges).select("src", "dst", "weight")
     live = truncate_plan(und)
     forest: DataFrame | None = None
-    n_rounds = rounds if rounds is not None else max_rounds
     fixpoint = rounds is None
 
-    # initial labels: every endpoint is its own component
     nodes = (
         und.select(F.col("src").alias("node"))
         .union(und.select(F.col("dst").alias("node")))
         .distinct()
     )
-    lab = nodes.select("node", F.col("node").alias("component"))
 
+    if fixpoint:
+        spark = edges.sparkSession
+        n_nodes = nodes.count()
+        if n_nodes <= collect_cap:
+            return _msf_driver_labels(spark, live, n_nodes, max_rounds)
+    # distributed-label path (rounds=k declarative form, and the
+    # above-cap fixpoint fallback) — identical to round 5
+    n_rounds = rounds if rounds is not None else max_rounds
+    lab = nodes.select("node", F.col("node").alias("component"))
     for _ in range(n_rounds):
         cu = lab.select(F.col("node").alias("src"), F.col("component").alias("cu"))
         cv = lab.select(F.col("node").alias("dst"), F.col("component").alias("cv"))
@@ -84,9 +72,6 @@ def minimum_spanning_forest(
         chosen = truncate_plan(chosen, eager=fixpoint)
         if fixpoint and chosen.isEmpty():
             break
-        # only edges still crossing (old) components can cross new ones:
-        # the live frontier shrinks monotonically, so late rounds scan a
-        # fraction of |E| on mostly-merged graphs
         live = truncate_plan(cross.select("src", "dst", "weight"), eager=False)
         forest = chosen if forest is None else forest.unionAll(chosen)
         forest = truncate_plan(forest, eager=False)
@@ -94,3 +79,78 @@ def minimum_spanning_forest(
     if forest is None:
         return und.filter(F.lit(False)).select("src", "dst", "weight")
     return forest.select("src", "dst", "weight")
+
+
+def _msf_driver_labels(spark, live: DataFrame, n_nodes: int, max_rounds: int):
+    """Borůvka fixpoint with driver union-find labels (n_nodes under the
+    collect cap). Per round: attach labels via one BROADCAST map (zero
+    exchange on the edge side), pick each component's min cross-edge with
+    one map-side-combinable aggregate, collect the <= #components chosen
+    edges (the same rows the emptiness check already materializes), and
+    merge them into the union-find. Chosen edges and final labels are
+    identical to the distributed path (same (weight, src, dst) total
+    order, same min-root merge)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    forest_rows: list[tuple[int, int, float]] = []
+    for _ in range(max_rounds):
+        merged = [(x, find(x)) for x in parent if find(x) != x]
+        if merged:
+            lab = spark.createDataFrame(merged, "n long, c long")
+            cu = F.broadcast(lab.select(F.col("n").alias("src"), F.col("c").alias("_cu")))
+            cv = F.broadcast(lab.select(F.col("n").alias("dst"), F.col("c").alias("_cv")))
+            cross = (
+                live.join(cu, "src", "left")
+                .join(cv, "dst", "left")
+                .select(
+                    "src",
+                    "dst",
+                    "weight",
+                    F.coalesce("_cu", F.col("src")).alias("cu"),
+                    F.coalesce("_cv", F.col("dst")).alias("cv"),
+                )
+                .filter(F.col("cu") != F.col("cv"))
+            )
+        else:
+            cross = live.select(
+                "src", "dst", "weight", F.col("src").alias("cu"), F.col("dst").alias("cv")
+            ).filter(F.col("cu") != F.col("cv"))
+        cand = F.struct("weight", "src", "dst").alias("cand")
+        both = cross.select(F.col("cu").alias("comp"), cand).unionAll(
+            cross.select(F.col("cv").alias("comp"), cand)
+        )
+        rows = (
+            both.groupBy("comp")
+            .agg(F.min("cand").alias("m"))
+            .select("m.src", "m.dst", "m.weight")
+            .collect()
+        )
+        if not rows:
+            break
+        seen = set()
+        for r in rows:
+            key = (r["src"], r["dst"])
+            if key in seen:
+                continue
+            seen.add(key)
+            forest_rows.append((r["src"], r["dst"], r["weight"]))
+            for x in key:
+                parent.setdefault(x, x)
+            ra, rb = find(key[0]), find(key[1])
+            if ra == rb:
+                continue
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+        live = truncate_plan(cross.select("src", "dst", "weight"), eager=False)
+    if not forest_rows:
+        return spark.createDataFrame([], "src long, dst long, weight double")
+    return spark.createDataFrame(forest_rows, "src long, dst long, weight double")

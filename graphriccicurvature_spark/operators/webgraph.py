@@ -379,8 +379,12 @@ def katz_centrality_bounded(
     Returns ``(node, katz)``. Truncating the Neumann series at k rounds
     counts walks of length <= k into v with geometric damping — the
     path-counting cousin of PageRank (no out-degree normalization, so
-    hubs are not penalized for fan-out). One shuffle join + one
-    aggregation per round, lineage truncated."""
+    hubs are not penalized for fan-out). Round-6 shape: the edge table is
+    hash-partitioned by ``src`` once and cached (only the |V|-sized score
+    vector reshuffles per round), the node table is pre-partitioned so
+    attaching new scores is a co-partitioned zero-exchange join, and
+    lineage truncation is lazy (materialized by the next round's exchange
+    or the caller's action)."""
     if num_iterations < 1:
         raise ValueError(f"katz: num_iterations must be >= 1, got {num_iterations}")
     e = edges.select("src", "dst", "weight")
@@ -388,11 +392,14 @@ def katz_centrality_bounded(
         e = e.union(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
         )
-    nodes = _nodes_of(e)
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    e_src = e.repartition(n_part, "src").cache()
+    nodes = _nodes_of(e).cache()
     x = nodes.withColumn("katz", F.lit(float(beta)))
     for _ in range(num_iterations):
         contrib = (
-            e.join(x, e.src == x.node)
+            e_src.join(x, e_src.src == x.node)
             .select("dst", (F.col("weight") * F.col("katz")).alias("k"))
             .groupBy("dst")
             .agg(F.sum("k").alias("k"))
@@ -404,8 +411,10 @@ def katz_centrality_bounded(
                     F.lit(float(beta))
                     + F.lit(float(alpha)) * F.coalesce("k", F.lit(0.0))
                 ).alias("katz"),
-            )
+            ),
         )
+    e_src.unpersist()
+    nodes.unpersist()
     return x
 
 
