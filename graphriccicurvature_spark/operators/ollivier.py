@@ -387,10 +387,35 @@ def _ego_mode(
     # partitioning is the grouping/join key of every downstream stage, so
     # no further shuffle of the fat arrays is needed.
     spark = edges.sparkSession
-    n_part = max(
+    # scale-adaptive gather parallelism (guide §2): the gather/solve stages
+    # run at n_part tasks, and each task pays a python-worker Arrow round
+    # trip, so a constant tuned for the dense bench graph (4x parallelism =
+    # 128 on local[32]) quadruples the per-call fixed cost on small inputs.
+    # Derive n_part from the eval-edge count (one cheap count job — the
+    # callers' edge tables are cached or checkpointed; iterative callers
+    # reuse the count via the skeleton), clamped to [defaultParallelism,
+    # the old 4x cap] so every core still gets a task and the
+    # scaling-sandwich legs keep their pinned partition count. Override
+    # knobs: GRC_EGO_NPART (absolute), GRC_EGO_EDGES_PER_PART (target
+    # edges/task, default 2048 — sized so the per-task Arrow/solve setup is
+    # amortized while partitions stay well under Arrow batch limits).
+    cap_part = max(
         spark.sparkContext.defaultParallelism * 4,
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
     )
+    if os.environ.get("GRC_EGO_NPART"):
+        n_part = int(os.environ["GRC_EGO_NPART"])
+    else:
+        target = int(os.environ.get("GRC_EGO_EDGES_PER_PART", "2048"))
+        n_ev = (skeleton or {}).get("n_ev")
+        if n_ev is None:
+            n_ev = ev.count()
+            if skeleton is not None:
+                skeleton["n_ev"] = n_ev
+        n_part = min(
+            max(spark.sparkContext.defaultParallelism, -(-n_ev // target)),
+            cap_part,
+        )
     ev = ev.repartition(n_part, "src", "_blk")
 
     # target-side adjacency at edge granularity, then fold per (src, _blk):
