@@ -77,9 +77,14 @@ def connected_components_hybrid(
     (min node id) are identical on both paths.
     """
     spark = edges.sparkSession
+    # the pair table's lineage is consumed up to three times below (the
+    # collect, the node union, and the callers' final label join). A lazy
+    # checkpoint makes the collect materialize it once; for LSH/near-dup
+    # callers the pair lineage is the whole candidate+verify pipeline, which
+    # previously re-ran per consumer (measured 3x at sf0.1).
+    edges = truncate_plan(edges.select("src", "dst"), eager=False)
     pairs = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
+        edges.filter(F.col("src") != F.col("dst"))
         .limit(collect_cap + 1)
         .collect()
     )
