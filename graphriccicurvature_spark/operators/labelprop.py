@@ -34,7 +34,11 @@ def label_propagation(
     sym = edges.select("src", "dst")
     if not directed:
         sym = sym.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.dropDuplicates(["src", "dst"]).cache()
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    # per-round neighbor join keys on sym.dst — cache the view partitioned
+    # by that key so rounds reshuffle only the |V|-sized label table
+    sym = sym.dropDuplicates(["src", "dst"]).repartition(n_part, "dst").cache()
     nodes = sym.select(F.col("src").alias("node")).union(
         sym.select(F.col("dst").alias("node"))
     )
@@ -66,16 +70,24 @@ def label_propagation(
                 labels.join(picked, "node", "left")
                 .select("node", F.coalesce("new_label", "label").alias("label"))
             )
-        new_labels = new_labels.transform(truncate_plan)
         if check_convergence:
-            changed = (
-                new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-                .filter(F.col("label") != F.col("old"))
-                .count()
+            # carry the previous label in-row so the convergence test is a
+            # scalar aggregate on the round's own checkpoint — no
+            # change-detection join, and the aggregate is the action that
+            # materializes the round
+            staged = truncate_plan(
+                new_labels.join(
+                    labels.select("node", F.col("label").alias("_old")), "node"
+                ),
+                eager=False,
             )
-            labels = new_labels
+            changed = staged.agg(
+                F.count(F.when(F.col("label") != F.col("_old"), 1))
+            ).collect()[0][0]
+            labels = staged.drop("_old")
             if changed == 0:
                 break
         else:
-            labels = new_labels
+            labels = new_labels.transform(truncate_plan)
+    sym.unpersist()
     return labels

@@ -221,25 +221,38 @@ def personalized_pagerank(
     ns = seeds.count()
     if ns == 0:
         raise ValueError("personalized_pagerank: no seed nodes present in the graph")
-    base_nodes = (
-        nodes.join(seeds.withColumn("_s", F.lit(1.0)), "node", "left")
-        .select("node", (F.coalesce("_s", F.lit(0.0)) / ns).alias("s"))
-        .cache()
-    )
+    base_nodes = nodes.join(
+        seeds.withColumn("_s", F.lit(1.0)), "node", "left"
+    ).select("node", (F.coalesce("_s", F.lit(0.0)) / ns).alias("s"))
     wout = e.groupBy("src").agg(F.sum("weight").alias("wout"))
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    # transition table partitioned by its per-round join key (the |E| table
+    # crosses an exchange once per run, not once per round); the dangling
+    # indicator rides the rank vector so the per-round dangling-mass scalar
+    # is a plain aggregate with no semi-join (pagerank.py pattern)
     trans = (
         e.join(wout, "src")
         .select("src", "dst", (F.col("weight") / F.col("wout")).alias("p"))
+        .repartition(n_part, "src")
         .cache()
     )
     trans.count()
-    dangling = nodes.join(
-        wout.select(F.col("src").alias("node")), "node", "left_anti"
-    ).cache()
+    base_nodes = (
+        base_nodes.join(
+            wout.select(F.col("src").alias("node"), F.lit(1).alias("_o")),
+            "node",
+            "left",
+        )
+        .select("node", "s", F.col("_o").isNull().alias("_dang"))
+        .cache()
+    )
     ranks = base_nodes.withColumn("ppr", F.lit(1.0 / n))
     for _ in range(num_iterations):
-        dangle_df = ranks.join(dangling, "node", "left_semi").agg(
-            F.coalesce(F.sum("ppr"), F.lit(0.0)).alias("_dangle")
+        dangle_df = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_dang"), F.col("ppr"))), F.lit(0.0)
+            ).alias("_dangle")
         )
         contrib = (
             trans.join(ranks, trans.src == ranks.node)
@@ -253,7 +266,7 @@ def personalized_pagerank(
         ranks = (
             base_nodes.join(contrib, base_nodes.node == contrib.dst, "left")
             .crossJoin(F.broadcast(dangle_df))
-            .select("node", "s", new_rank.alias("ppr"))
+            .select("node", "s", "_dang", new_rank.alias("ppr"))
             .transform(truncate_plan)
         )
     out = ranks.select("node", "ppr")
@@ -263,7 +276,6 @@ def personalized_pagerank(
     trans.unpersist()
     nodes.unpersist()
     base_nodes.unpersist()
-    dangling.unpersist()
     return out
 
 
@@ -572,6 +584,11 @@ def bfs_distance(
     e = edges.select("src", "dst")
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    # frontier expansion joins on e.src every hop — cache the arc view
+    # partitioned by that key once (guide §2.4)
+    e = e.repartition(n_part, "src").cache()
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
@@ -594,6 +611,7 @@ def bfs_distance(
         dist = dist.union(frontier.withColumn("dist", F.lit(h))).transform(
             truncate_plan
         )
+    e.unpersist()
     return dist
 
 
@@ -651,8 +669,16 @@ def hyperball(
     (~1.6% at the default 12); the pytest twin checks agreement with the
     exact operator on a fixture.
     """
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
     und = edges.select("src", "dst")
-    sym = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # the sketch join keys on sym.dst every round — cache the symmetric view
+    # partitioned by that key once (guide §2.4)
+    sym = (
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n_part, "dst")
+        .cache()
+    )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     sk = nodes.groupBy("node").agg(
         F.hll_sketch_agg("node", F.lit(lg_config_k)).alias("sk")
@@ -673,9 +699,11 @@ def hyperball(
             )
             .transform(truncate_plan)
         )
-    return sk.select(
+    out = sk.select(
         "node", F.round(F.hll_sketch_estimate("sk")).cast("long").alias("ball_estimate")
     )
+    sym.unpersist()
+    return out
 
 
 def salsa(edges: DataFrame, num_iterations: int = 3) -> DataFrame:
@@ -703,42 +731,44 @@ def salsa(edges: DataFrame, num_iterations: int = 3) -> DataFrame:
     e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     outd = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     ind = e.groupBy("dst").agg(F.count("*").alias("indeg"))
-    eb = (
-        e.join(ind, "dst")
-        .join(outd, "src")
-        .select(
-            "src",
-            "dst",
-            (F.lit(1.0) / F.col("indeg")).alias("rin"),
-            (F.lit(1.0) / F.col("outdeg")).alias("rout"),
-        )
-        .cache()
+    eb = e.join(ind, "dst").join(outd, "src").select(
+        "src",
+        "dst",
+        (F.lit(1.0) / F.col("indeg")).alias("rin"),
+        (F.lit(1.0) / F.col("outdeg")).alias("rout"),
     )
-    auths = eb.select(F.col("dst").alias("node")).distinct().cache()
-    hubs = eb.select(F.col("src").alias("node")).distinct().cache()
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    # the alternating-walk rounds join the transition table on BOTH keys
+    # (dst for the back-step, src for the forward step) — cache one copy
+    # partitioned by each so rounds reshuffle only the score vectors
+    eb_dst = eb.repartition(n_part, "dst").cache()
+    eb_src = eb.repartition(n_part, "src").cache()
+    auths = eb_dst.select(F.col("dst").alias("node")).distinct().cache()
+    hubs = eb_dst.select(F.col("src").alias("node")).distinct().cache()
     na = auths.count()
     nh = hubs.count()
     a = auths.withColumn("a", F.lit(1.0 / na))
     h = hubs.withColumn("h", F.lit(1.0 / nh))
     for _ in range(num_iterations):
         t = (
-            eb.join(a, eb.dst == a.node)
+            eb_dst.join(a, eb_dst.dst == a.node)
             .groupBy("src")
             .agg(F.sum(F.col("a") * F.col("rin")).alias("t"))
         )
         a = (
-            eb.join(t, "src")
+            eb_src.join(t, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("t") * F.col("rout")).alias("a"))
             .transform(truncate_plan)
         )
         g = (
-            eb.join(h, eb.src == h.node)
+            eb_src.join(h, eb_src.src == h.node)
             .groupBy("dst")
             .agg(F.sum(F.col("h") * F.col("rout")).alias("g"))
         )
         h = (
-            eb.join(g, "dst")
+            eb_dst.join(g, "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum(F.col("g") * F.col("rin")).alias("h"))
             .transform(truncate_plan)
@@ -751,7 +781,8 @@ def salsa(edges: DataFrame, num_iterations: int = 3) -> DataFrame:
             F.coalesce("h", F.lit(0.0)).alias("salsa_hub"),
         )
     )
-    eb.unpersist()
+    eb_dst.unpersist()
+    eb_src.unpersist()
     auths.unpersist()
     hubs.unpersist()
     return out
@@ -781,6 +812,11 @@ def sssp_bounded(
         e = e.union(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
         )
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    # every relaxation round joins on e.src — cache the arc view
+    # partitioned by that key once (guide §2.4)
+    e = e.repartition(n_part, "src").cache()
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
@@ -802,6 +838,7 @@ def sssp_bounded(
             .agg(F.min("dist").alias("dist"))
             .transform(truncate_plan)
         )
+    e.unpersist()
     return dist
 
 
@@ -1334,8 +1371,19 @@ def simrank(
     time of two c^t-discounted walks); `random_walks` provides the walk
     machinery if estimation is needed at full-corpus scale.
     """
-    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("ind"))
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    # both per-round scatter joins key on e.src — cache the deduped arc
+    # table partitioned by that key once; in-degrees are read twice per
+    # round, cache them too
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(n_part, "src")
+        .cache()
+    )
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("ind")).cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -1370,7 +1418,12 @@ def simrank(
                 F.lit(1.0).alias("score"),
             ).union(offdiag)
         )
-    return prev.filter(F.col("a") < F.col("b")).select("a", "b", "score")
+    # per-round states are eagerly truncated, so the cached inputs can be
+    # released before the caller's action
+    out = prev.filter(F.col("a") < F.col("b")).select("a", "b", "score")
+    e.unpersist()
+    ind.unpersist()
+    return out
 
 
 def ppr_sweep(

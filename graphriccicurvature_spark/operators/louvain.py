@@ -56,8 +56,15 @@ def louvain_moves(edges: DataFrame, rounds: int = 4) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
         )
     )
-    sym = truncate_plan(sym)
-    ki = sym.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("k"))
+    # the symmetrized edge table is joined on ``dst`` every round — cache it
+    # partitioned by that key so rounds reshuffle only the |V|-sized label
+    # table (guide §2.4); ki is read twice per round, cache it too
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    sym = truncate_plan(sym).repartition(n_part, "dst").cache()
+    ki = (
+        sym.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("k")).cache()
+    )
     m = und.agg(F.sum("weight").alias("m"))
     lab = ki.select("node", F.col("node").alias("c"))
 
@@ -76,15 +83,21 @@ def louvain_moves(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .agg(F.sum("weight").alias("w"))
         )
         cur = lab.select("node", F.col("c").alias("ci"))
-        own = (
+        # one consumption of nbr: attach the own-community weight in-row
+        # with a window over the join's existing node clustering instead of
+        # re-joining a second filtered copy of the nbr subtree (nbr is
+        # grouped by (node, cj), so the own row is unique and the window
+        # sum equals the old join's w_own exactly)
+        w_node = Window.partitionBy("node")
+        x = (
             nbr.join(cur, "node")
-            .filter(F.col("cj") == F.col("ci"))
-            .select("node", F.col("w").alias("w_own"))
+            .withColumn(
+                "w_own",
+                F.sum(F.when(F.col("cj") == F.col("ci"), F.col("w"))).over(w_node),
+            )
         )
         cand = (
-            nbr.join(cur, "node")
-            .filter(F.col("cj") != F.col("ci"))
-            .join(own, "node", "left")
+            x.filter(F.col("cj") != F.col("ci"))
             .join(ki, "node")
             .join(tot.select(F.col("c").alias("cj"), F.col("tot").alias("tot_b")), "cj")
             .join(tot.select(F.col("c").alias("ci"), F.col("tot").alias("tot_a")), "ci")
@@ -100,17 +113,22 @@ def louvain_moves(edges: DataFrame, rounds: int = 4) -> DataFrame:
                 ).alias("gain"),
             )
         )
-        w_best = Window.partitionBy("node").orderBy(
-            F.desc("gain"), F.asc("cj")
-        )
         best = (
-            cand.withColumn("rn", F.row_number().over(w_best))
-            .filter((F.col("rn") == 1) & (F.col("gain") > 0))
-            .select("node", F.col("cj").alias("c_new"))
+            cand.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("gain")).alias("ng"), F.col("cj").alias("cj"))
+                ).alias("b")
+            )
+            .filter(F.col("b.ng") < 0)
+            .select("node", F.col("b.cj").alias("c_new"))
         )
         lab = (
             lab.join(best, "node", "left")
             .select("node", F.coalesce("c_new", "c").alias("c"))
             .transform(lambda df: truncate_plan(df, eager=False))
         )
-    return lab.select("node", F.col("c").alias("community"))
+    out = truncate_plan(lab.select("node", F.col("c").alias("community")))
+    sym.unpersist()
+    ki.unpersist()
+    return out

@@ -328,7 +328,11 @@ def random_walks(
         ),
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    adj = truncate_plan(ranked.join(outdeg, "src"))
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    # every step joins on adj.src — partition+cache the (loop-invariant)
+    # ranked adjacency once so steps reshuffle only the walk frontier
+    adj = truncate_plan(ranked.join(outdeg, "src")).repartition(n_part, "src").cache()
     cur = truncate_plan(
         seeds.select(F.col("node").alias("seed"))
         .distinct()
@@ -361,7 +365,9 @@ def random_walks(
             .select("seed", F.lit(t + 1).alias("step"), F.col("dst").alias("node"))
         )
         out = out.union(cur)
-    return truncate_plan(out)
+    out = truncate_plan(out)
+    adj.unpersist()
+    return out
 
 
 def katz_centrality_bounded(
@@ -524,7 +530,12 @@ def eigenvector_centrality_bounded(
         e = e.union(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
         )
-    nodes = _nodes_of(e)
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    # loop-invariant edge view partitioned by its per-round join key; the
+    # node table is re-read every round, so cache it too (guide §2.4)
+    e = e.repartition(n_part, "src").cache()
+    nodes = _nodes_of(e).cache()
     x = nodes.withColumn("x", F.lit(1.0))
     for _ in range(num_iterations):
         contrib = (
@@ -539,12 +550,15 @@ def eigenvector_centrality_bounded(
             )
         )
     tot = x.agg(F.sum(F.abs(F.col("x"))).alias("_tot"))
-    return x.crossJoin(F.broadcast(tot)).select(
+    out = x.crossJoin(F.broadcast(tot)).select(
         "node",
         F.when(F.col("_tot") > 0, F.col("x") / F.col("_tot"))
         .otherwise(F.lit(0.0))
         .alias("score"),
     )
+    e.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def partition_modularity(edges: DataFrame, partition: DataFrame) -> DataFrame:
