@@ -141,34 +141,44 @@ def k_core(
     Peel depth on web graphs is small (degeneracy ordering converges in
     tens of rounds at billions of edges).
     """
+    def peel(cur: DataFrame) -> DataFrame:
+        """One peel round as a window pass: each symmetric row learns its
+        src's degree in-row (one exchange instead of a degree aggregate
+        plus two semi-joins), a row survives iff its src keeps degree >= k,
+        and a canonical edge survives iff BOTH its orientations survive
+        (count == 2 in the pair rollup) — the same induced edge set as the
+        keep-nodes/semi-join form."""
+        from pyspark.sql import Window
+
+        sym = cur.union(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        w = Window.partitionBy("src")
+        return (
+            sym.withColumn("_d", F.count(F.lit(1)).over(w))
+            .filter(F.col("_d") >= k)
+            .groupBy(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") == 2)
+            .select("src", "dst")
+        )
+
     cur = edges.select("src", "dst")
     if rounds is not None:
         for _ in range(rounds):
-            keep = _sym_degree(cur).filter(F.col("degree") >= k).select("node")
-            cur = (
-                cur.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
-                .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
-                .select("src", "dst")
-                # each round reads the previous edge set 3x (degree union x2
-                # + induce); without a cut the plan re-evaluates the base
-                # scan 3^rounds times. localCheckpoint bounds it to one
-                # materialization per round — same cost shape as fixpoint
-                # mode, minus its count actions.
-                .transform(truncate_plan)
-            )
+            # localCheckpoint bounds the plan to one materialization per
+            # round — same cost shape as fixpoint mode, minus its counts
+            cur = peel(cur).transform(truncate_plan)
         return _sym_degree(cur)
 
     cur = cur.cache()
     n_prev = cur.count()
     while True:
-        keep = _sym_degree(cur).filter(F.col("degree") >= k).select("node")
-        nxt = (
-            cur.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .transform(truncate_plan)
-            .cache()
-        )
+        # the fixpoint count is the action that materializes the round
+        nxt = peel(cur).transform(lambda d: truncate_plan(d, eager=False))
         n_next = nxt.count()
         cur.unpersist()
         cur = nxt
