@@ -641,7 +641,13 @@ def neighborhood_function(
     Each round: one shuffle join + distinct.
     """
     und = edges.select("src", "dst")
-    sym = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    sym = (
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n_part, "src")
+        .cache()
+    )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     reach = nodes.select("node", F.col("node").alias("x"))
     for _ in range(radius):
@@ -650,7 +656,9 @@ def neighborhood_function(
             .select("node", F.col("dst").alias("x"))
         )
         reach = reach.union(step).distinct().transform(truncate_plan)
-    return reach.groupBy("node").agg(F.count("*").alias("ball"))
+    out = reach.groupBy("node").agg(F.count("*").alias("ball"))
+    sym.unpersist()
+    return out
 
 
 def hyperball(
@@ -877,7 +885,15 @@ def _bounded_reach(edges: DataFrame, radius: int) -> DataFrame:
     distinct per round, cost Σ|ball_R|. Shared by the exact bounded
     centralities (harmonic / closeness / neighborhood)."""
     und = edges.select("src", "dst")
-    sym = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    # frontier expansion joins on sym.src every round — cache the symmetric
+    # view partitioned by that key once (guide §2.4)
+    sym = (
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n_part, "src")
+        .cache()
+    )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     reach = nodes.select("node", F.col("node").alias("x"), F.lit(0).alias("d"))
     for h in range(1, radius + 1):
@@ -892,6 +908,7 @@ def _bounded_reach(edges: DataFrame, radius: int) -> DataFrame:
             .agg(F.min("d").alias("d"))
             .transform(truncate_plan)
         )
+    sym.unpersist()
     return reach
 
 
@@ -946,7 +963,13 @@ def hyperball_harmonic(
     10^11-edge web graphs — per-node exact BFS is off the table there.
     """
     und = edges.select("src", "dst")
-    sym = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    sym = (
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n_part, "dst")
+        .cache()
+    )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     sk = nodes.groupBy("node").agg(
         F.hll_sketch_agg("node", F.lit(lg_config_k)).alias("sk")
@@ -977,7 +1000,9 @@ def hyperball_harmonic(
                 + (F.hll_sketch_estimate("sk") - F.col("prev")) / F.lit(float(r))
             ).alias("hc"),
         ).transform(truncate_plan)
-    return sk.select("node", F.col("hc").alias("harmonic_estimate"))
+    out = sk.select("node", F.col("hc").alias("harmonic_estimate"))
+    sym.unpersist()
+    return out
 
 
 def distance_distribution(edges: DataFrame, radius: int) -> DataFrame:
@@ -993,7 +1018,13 @@ def distance_distribution(edges: DataFrame, radius: int) -> DataFrame:
     path. Per round: one frontier join + a min-keeping aggregation.
     """
     und = edges.select("src", "dst")
-    sym = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    sym = (
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n_part, "src")
+        .cache()
+    )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     reach = nodes.select("node", F.col("node").alias("x"), F.lit(0).alias("d"))
     for h in range(1, radius + 1):
@@ -1008,6 +1039,7 @@ def distance_distribution(edges: DataFrame, radius: int) -> DataFrame:
             .agg(F.min("d").alias("d"))
             .transform(truncate_plan)
         )
+    sym.unpersist()
     counts = reach.groupBy("d").agg(F.count("*").alias("pairs"))
     # groupBy only emits OBSERVED distances; if every ball saturates before
     # `radius` the tail rows would vanish and the output shape would depend
@@ -1064,7 +1096,13 @@ def hyperball_distance_distribution(
     bytes. The pytest twin checks agreement with the exact operator.
     """
     und = edges.select("src", "dst")
-    sym = und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    sym = (
+        und.union(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n_part, "dst")
+        .cache()
+    )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     sk = nodes.groupBy("node").agg(
         F.hll_sketch_agg("node", F.lit(lg_config_k)).alias("sk")
@@ -1099,12 +1137,14 @@ def hyperball_distance_distribution(
     from pyspark.sql import Window
 
     w = Window.orderBy("d")
-    return cums.select(
+    out = cums.select(
         "d",
         (F.col("_cum") - F.coalesce(F.lag("_cum").over(w), F.lit(0))).alias(
             "pairs_estimate"
         ),
     )
+    sym.unpersist()
+    return out
 
 
 def spam_mass(
