@@ -235,16 +235,14 @@ def personalized_pagerank(
         seeds.withColumn("_s", F.lit(1.0)), "node", "left"
     ).select("node", (F.coalesce("_s", F.lit(0.0)) / ns).alias("s"))
     wout = e.groupBy("src").agg(F.sum("weight").alias("wout"))
-    spark = edges.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
-    # transition table partitioned by its per-round join key (the |E| table
-    # crosses an exchange once per run, not once per round); the dangling
-    # indicator rides the rank vector so the per-round dangling-mass scalar
-    # is a plain aggregate with no semi-join (pagerank.py pattern)
+    # transition table computed once and cached — a shuffle-join build leaves
+    # it hash-partitioned by ``src`` (the per-round join key) already, so no
+    # explicit repartition (see pagerank.py); the dangling indicator rides
+    # the rank vector so the per-round dangling-mass scalar is a plain
+    # aggregate with no semi-join (pagerank.py pattern)
     trans = (
-        e.join(wout, "src")
+        e.join(wout.hint("merge"), "src")
         .select("src", "dst", (F.col("weight") / F.col("wout")).alias("p"))
-        .repartition(n_part, "src")
         .cache()
     )
     trans.count()
