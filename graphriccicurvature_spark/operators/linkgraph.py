@@ -235,13 +235,13 @@ def personalized_pagerank(
         seeds.withColumn("_s", F.lit(1.0)), "node", "left"
     ).select("node", (F.coalesce("_s", F.lit(0.0)) / ns).alias("s"))
     wout = e.groupBy("src").agg(F.sum("weight").alias("wout"))
-    # transition table computed once and cached — a shuffle-join build leaves
-    # it hash-partitioned by ``src`` (the per-round join key) already, so no
-    # explicit repartition (see pagerank.py); the dangling indicator rides
-    # the rank vector so the per-round dangling-mass scalar is a plain
-    # aggregate with no semi-join (pagerank.py pattern)
+    # transition table computed once and cached, no forced layout (see the
+    # pagerank.py note: a shuffle-join build is already partitioned+sorted
+    # by src, a broadcast build means the rounds broadcast too); the
+    # dangling indicator rides the rank vector so the per-round
+    # dangling-mass scalar is a plain aggregate with no semi-join
     trans = (
-        e.join(wout.hint("merge"), "src")
+        e.join(wout, "src")
         .select("src", "dst", (F.col("weight") / F.col("wout")).alias("p"))
         .cache()
     )
