@@ -78,20 +78,15 @@ def pagerank(
         .cache()
     )
     trans.count()
-    # dangling flag folded onto the node table (and carried through the rank
-    # vector) — the per-round dangling-mass scalar becomes a column aggregate
-    # with no join; the node table is pre-partitioned so the per-round
-    # "attach new ranks" join is co-partitioned with the contribution
-    # aggregate (zero exchange on either side)
-    ndf = (
-        nodes.join(
-            wout.select(F.col("src").alias("node"), F.lit(1).alias("_o")),
-            "node",
-            "left",
-        )
-        .select("node", F.col("_o").isNull().alias("_dang"))
-        .cache()
-    )
+    # dangling flag folded INTO the rank vector (computed once, carried
+    # through every round by the rank join itself) — the per-round
+    # dangling-mass scalar becomes a plain column aggregate with no join,
+    # and no separate flagged node table needs building or caching
+    ndf = nodes.join(
+        wout.select(F.col("src").alias("node"), F.lit(1).alias("_o")),
+        "node",
+        "left",
+    ).select("node", F.col("_o").isNull().alias("_dang"))
 
     if init is None:
         ranks = ndf.withColumn("pagerank", F.lit(1.0 / n))
@@ -104,6 +99,7 @@ def pagerank(
                 "node", "_dang", F.coalesce("_init", F.lit(1.0 / n)).alias("pagerank")
             )
         )
+    ranks = truncate_plan(ranks)
     base = (1.0 - damping) / n
     iters = num_iterations if num_iterations is not None else max_iter
     for _ in range(iters):
@@ -147,12 +143,13 @@ def pagerank(
             if err < n * tol:
                 break
         else:
-            # fixed-iteration mode: build from the pre-partitioned node
-            # table (co-partitioned with the contribution aggregate — no
-            # exchange on either join side) and defer materialization to
-            # whatever touches the round next
+            # fixed-iteration mode: the previous round's rank vector IS the
+            # node table (same node set every round), so joining it keeps
+            # the dangling flag in-row with exactly the shuffle shape the
+            # old nodes-join had; materialization is deferred to whatever
+            # touches the round next
             ranks = (
-                ndf.join(contrib, ndf.node == contrib.dst, "left")
+                ranks.join(contrib, ranks.node == contrib.dst, "left")
                 .crossJoin(F.broadcast(dangle_df))
                 .select("node", "_dang", new_rank.alias("pagerank"))
                 .transform(lambda d: truncate_plan(d, eager=False))
